@@ -1,0 +1,201 @@
+"""The stretch engine core: hop-parallel spectral processing.
+
+Algorithm (a TPU-first re-derivation of the reference engine's behavior —
+the reference ships it only as an opaque WASM phase vocoder, reference:
+app/SignalsmithStretch.mjs:265 and SURVEY.md §2.1):
+
+For each synthesis hop ``h`` (output frames placed every ``interval``
+samples), analyze the input at the mapped position ``p_h`` *and* at
+``p_h - interval``.  The per-band phase advance measured between those two
+analyses is exactly the advance one output hop must add — independent of the
+stretch rate, which is why the reference can "constantly re-seek" with a
+rate-independent buffer (app/SignalsmithStretch.mjs:934-935).  Output bands
+are read from pitch-mapped input bands (tonality-limited mapping,
+:mod:`bauklank_tpu.ops.pitchmap`) and rotated so each band's phase continues
+from where the previous output hop left off; a constant extra rotation of
+``2*pi*(f_out - f_in)*interval`` per hop realizes the pitch shift.
+
+The TPU reformulation: with output ``out_h = rot_h * cur_h`` (one shared
+unit rotation per band, preserving all intra-hop and inter-channel phase
+structure), the recursion
+
+    rot_h = rot_{h-1} * unit(sum_c cur_{h-1,c} * conj(prev_{h,c})) * offset
+
+is a *pure cumulative complex product* of per-hop factors computable from
+input analyses alone.  So a whole chunk of hops runs as: one batched MDFT
+over all (cur, prev) frames -> elementwise factor computation ->
+``lax.associative_scan`` (parallel prefix) over hops -> batched inverse MDFT
+-> one overlap-add.  No sequential per-hop loop anywhere; the only carried
+state between chunks is (rot, last mapped spectrum, OLA tail).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bauklank_tpu.engine.config import StretchConfig
+from bauklank_tpu.engine.params import StretchParams
+from bauklank_tpu.ops import formant as formant_ops
+from bauklank_tpu.ops import framing, mdft, pitchmap, windows
+
+__all__ = ["StretchState", "init_state", "process_chunk", "flush"]
+
+
+class StretchState(NamedTuple):
+    """Per-stream carried state (a pytree; batch with a leading stream axis)."""
+
+    rot: jnp.ndarray       # [bins] complex64 — accumulated band rotation
+    prev_cur: jnp.ndarray  # [C, bins] complex64 — last hop's mapped spectrum
+    ola_tail: jnp.ndarray  # [C, block] float32 — synthesized, not yet emitted
+
+
+def init_state(config: StretchConfig) -> StretchState:
+    """Fresh state — the reference `_reset` (app/SignalsmithStretch.mjs:467).
+
+    Created inside a jitted builder so complex zeros/ones materialize
+    on-device (complex host->device transfer is unavailable on some TPU
+    attachment paths).
+    """
+    return _init_state_jit(config)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _init_state_jit(config: StretchConfig) -> StretchState:
+    ones = jax.lax.complex(jnp.ones((config.bins,), jnp.float32), jnp.zeros((config.bins,), jnp.float32))
+    zeros_c = jnp.zeros((config.channels, config.bins), jnp.complex64)
+    return StretchState(
+        rot=ones.astype(jnp.complex64),
+        prev_cur=zeros_c,
+        ola_tail=jnp.zeros((config.channels, config.block), jnp.float32),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _window_consts(block: int, interval: int):
+    # numpy (not jnp): jnp.asarray inside a jit trace returns a Tracer, which
+    # must not be cached across traces.  numpy constants embed as literals.
+    wa, ws = windows.pr_window_pair(block, interval)
+    freqs = mdft.band_freqs(block)
+    return wa, ws, freqs
+
+
+def process_chunk(
+    config: StretchConfig,
+    state: StretchState,
+    audio: jnp.ndarray,
+    frame_ends: jnp.ndarray,
+    params: StretchParams,
+):
+    """Process ``H`` hops for one stream; jit/vmap-safe.
+
+    config:     static shapes.
+    state:      carried :class:`StretchState`.
+    audio:      [C, T] device-resident source samples (a loaded track, or a
+                seek window — out-of-range reads are zero, matching the
+                reference's zero-padded seek fill,
+                app/SignalsmithStretch.mjs:905-931).
+    frame_ends: [H] int32 — per hop, the *exclusive end* of the current
+                analysis frame in ``audio``.  For time alignment, hop ``h``
+                (output samples [h*I, h*I + block)) should use
+                ``frame_ends[h] = round(input_center_h) + block//2`` where
+                ``input_center_h`` is the input position mapped from the
+                output frame center.
+    params:     dynamic controls (scalars for a single stream).
+
+    Returns ``(new_state, out)`` with ``out`` float32 [C, H*interval].
+    """
+    block, interval, bins = config.block, config.interval, config.bins
+    wa, ws, band_f = _window_consts(block, interval)
+    h = frame_ends.shape[0]
+    c = config.channels
+
+    # --- batched analysis: cur frames and prev (one interval earlier) ------
+    starts_cur = frame_ends.astype(jnp.int32) - block
+    starts = jnp.concatenate([starts_cur, starts_cur - interval])  # [2H]
+    frames = framing.gather_frames(audio, starts, block)  # [C, 2H, B]
+    specs = mdft.mdft(frames * wa)  # [C, 2H, bins]
+    cur = specs[:, :h]
+
+    # --- pitch-mapped band gather (one MXU einsum for cur+prev) -------------
+    limit = pitchmap.effective_tonality_limit(params.transpose_factor, params.tonality)
+    pos, dfreq = pitchmap.source_positions(band_f, params.transpose_factor, limit, block)
+    specs_m = pitchmap.gather_fractional(specs, pos)  # [C, 2H, bins]
+    cur_m, prev_m = specs_m[:, :h], specs_m[:, h:]
+
+    # --- per-hop rotation factors + parallel prefix product -----------------
+    # Output phase rule (deviation scaling): each output band's phase must
+    # advance per hop by
+    #     2*pi*f_out_center*I  +  g * dev_h
+    # where dev_h is the measured deviation of the input content from its
+    # band center — angle(w_h * e^{-2i pi f_in_center I}) with
+    # w_h = unit(sum_c cur_h * conj(prev_h)) the rate-independent one-
+    # interval advance measurement — and g is the local frequency-map
+    # gradient (= transpose factor below the tonality limit, 1 above it).
+    # Scaling the *deviation* (not the wrapped total) is what keeps adjacent
+    # bands frequency-consistent under pitch shift; preserving it unscaled
+    # makes a shifted tone split between bands and beat.
+    #
+    # Since out_h = rot_h * cur_h, the required update factors in the
+    # carried rotation are
+    #     rot_h = rot_{h-1} * a_h * b_h
+    #     a_h = unit(sum_c cur_{h-1} * conj(cur_h))   (cancel cur progression)
+    #     b_h = exp(i*(2 pi f_out I + g * dev_h))     (impose desired advance)
+    # — every factor is computable from input analyses alone, so the whole
+    # chunk is still one associative_scan (parallel prefix) over hops.
+    prev_hop_cur = jnp.concatenate([state.prev_cur[:, None], cur_m[:, : h - 1]], axis=1)
+    f_in = band_f - dfreq  # [bins] source frequency per output band
+    grad = jnp.where(band_f <= limit * params.transpose_factor, params.transpose_factor, 1.0)
+    two_pi_i = jnp.float32(2.0 * np.pi * interval)
+
+    w = pitchmap.unit(jnp.sum(cur_m * jnp.conj(prev_m), axis=0))  # [H, bins]
+    dev = jnp.angle(w * jnp.exp(-1j * two_pi_i * f_in))           # in (-pi, pi]
+    corr_a = jnp.sum(prev_hop_cur * jnp.conj(cur_m), axis=0)
+    v = (pitchmap.unit(corr_a) * jnp.exp(1j * (two_pi_i * band_f + grad * dev))).astype(jnp.complex64)
+    # Phase (re)start: with no previous-output energy in a band (first hop
+    # after reset, or silence -> signal), there is no phase to continue —
+    # keep the current rotation so the output phase restarts from the input
+    # phase.  (The reference engine behaves the same way after _reset.)
+    v = jnp.where(jnp.abs(corr_a) > 1e-12, v, jnp.complex64(1.0))
+    rot_seq = state.rot[None, :] * jax.lax.associative_scan(jnp.multiply, v, axis=0)
+
+    out_spec = rot_seq[None] * cur_m  # [C, H, bins]
+
+    # --- formant envelope path ----------------------------------------------
+    if config.formants:
+        power = jnp.square(jnp.abs(cur))  # [C, H, bins] (input envelope)
+        psum = jnp.sum(power, axis=0)     # [H, bins]
+        f0 = formant_ops.detect_f0_bands(psum)  # [H]
+        base_bands = params.formant_base * block
+        sigma = 0.5 * jnp.where(base_bands > 0, base_bands, f0)  # [H]
+        env = formant_ops.spectral_envelope(power, sigma)  # [C, H, bins]
+        gain = formant_ops.formant_gain(
+            env, band_f, pos, params.formant_factor, params.formant_compensation,
+            params.transpose_factor, limit, block,
+        )
+        out_spec = out_spec * gain
+
+    # --- synthesis + overlap-add ---------------------------------------------
+    out_frames = mdft.imdft(out_spec, block) * ws  # [C, H, B]
+    ola = framing.overlap_add(out_frames, interval, h * interval + block)
+    total = ola.at[:, :block].add(state.ola_tail)
+    emit = total[:, : h * interval] * params.active
+    new_tail = total[:, h * interval : h * interval + block]
+
+    new_state = StretchState(
+        rot=pitchmap.unit(rot_seq[-1]),
+        prev_cur=cur_m[:, -1],
+        ola_tail=new_tail,
+    )
+    return new_state, emit
+
+
+def flush(config: StretchConfig, state: StretchState):
+    """Emit the remaining OLA tail and reset it — the reference `_flush`
+    (app/SignalsmithStretch.mjs:478).  Returns (state, tail [C, block])."""
+    tail = state.ola_tail
+    return state._replace(ola_tail=jnp.zeros_like(tail)), tail

@@ -1,0 +1,233 @@
+"""StretchNode: one stretch voice with the reference node's control surface.
+
+Mirrors the main-thread API the reference exposes per engine (async RPC
+proxies over the worklet — reference: app/SignalsmithStretch.mjs:603-744 and
+:1035-1058): ``configure``, ``latency``, ``setUpdateInterval``, ``start``,
+``stop``, ``schedule``, ``addBuffers``, ``dropBuffers``, plus the
+``input_time`` property that the reference pushes as ``['time', t]``
+messages (:938-942).
+
+Execution model differs TPU-natively: instead of a real-time render-thread
+callback, the node *pulls* output in arbitrary-size chunks
+(:meth:`process_output`, the file-playback path) or *pushes* live input
+(:meth:`process`).  Internally the engine runs one spectral hop per
+``interval`` output samples via the jitted chunk function; an output FIFO
+decouples hop granularity from caller chunk sizes (the reference's 128-frame
+render quanta — app/SignalsmithStretch.mjs:820-826).
+
+Single-voice convenience wrapper; fleets should use
+``bauklank_tpu.serve.pool.StreamPool`` which batches many voices into one
+dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bauklank_tpu.engine.config import StretchConfig, preset_cheaper, preset_default
+from bauklank_tpu.engine.core import init_state, process_chunk
+from bauklank_tpu.engine.params import StretchParams
+from bauklank_tpu.schedule.timemap import Segment, TimeMap
+
+__all__ = ["StretchNode"]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _chunk_jit(config, state, audio, frame_ends, params):
+    return process_chunk(config, state, audio, frame_ends, params)
+
+
+class StretchNode:
+    """One stretch voice.
+
+    audio model (file-playback mode): ``add_buffers`` appends channel
+    buffers to a timeline, matching the reference worklet's buffer list +
+    sample bookkeeping (app/SignalsmithStretch.mjs:737-743).
+    """
+
+    def __init__(
+        self,
+        sample_rate: float = 44100.0,
+        channels: int = 2,
+        config: StretchConfig | None = None,
+        hops_per_dispatch: int = 1,
+    ) -> None:
+        # hops_per_dispatch > 1 amortizes dispatch overhead for offline/bulk
+        # rendering but pre-renders that many intervals ahead, delaying the
+        # effect of schedule() changes; 1 keeps control latency at one
+        # interval, closest to the reference's per-quantum control sampling
+        # (app/SignalsmithStretch.mjs:845-849).
+        self.sample_rate = float(sample_rate)
+        self.channels = channels
+        self.config = config or preset_default(channels, sample_rate)
+        self.hops_per_dispatch = hops_per_dispatch
+        self.timemap = TimeMap()
+        self._buffers: list[np.ndarray] = []
+        self._audio_dev: jnp.ndarray | None = None
+        self._state = None
+        self._out_pos = 0  # output samples rendered since reset
+        self._fifo = np.zeros((channels, 0), np.float32)
+        self.input_time = 0.0
+        self._update_interval = 0.1
+        self._update_cb: Callable[[float], None] | None = None
+        self._since_update = 0.0
+        self.reset()
+
+    # ------------------------------------------------------------ engine ABI
+    def configure(self, **kw) -> None:
+        """Accepts the reference config keys: blockMs / intervalMs / overlap
+        / splitComputation / preset (app/SignalsmithStretch.mjs:786-801).
+        Reconfiguring resets the engine, like the reference (:791-792)."""
+        if kw.get("preset") == "cheaper":
+            self.config = preset_cheaper(self.channels, self.sample_rate)
+        elif kw.get("preset") == "default":
+            self.config = preset_default(self.channels, self.sample_rate)
+        elif "blockMs" in kw or "block" in kw:
+            block = int(kw.get("block") or round(kw["blockMs"] / 1000.0 * self.sample_rate))
+            if "interval" in kw:
+                interval = int(kw["interval"])
+            elif "intervalMs" in kw:
+                interval = round(kw["intervalMs"] / 1000.0 * self.sample_rate)
+            elif "overlap" in kw:
+                interval = round(block / float(kw["overlap"]))
+            else:
+                interval = round(block * 0.25)  # reference default (:787)
+            self.config = StretchConfig(
+                channels=self.channels,
+                block=block,
+                interval=max(1, interval),
+                split_computation=bool(kw.get("splitComputation", self.config.split_computation)),
+            )
+        self.reset()
+
+    def reset(self) -> None:
+        self._state = init_state(self.config)
+        self._out_pos = 0
+        self._fifo = np.zeros((self.channels, 0), np.float32)
+        self._since_update = 0.0
+
+    @property
+    def block_samples(self) -> int:
+        return self.config.block
+
+    @property
+    def interval_samples(self) -> int:
+        return self.config.interval
+
+    @property
+    def input_latency(self) -> int:
+        return self.config.input_latency
+
+    @property
+    def output_latency(self) -> int:
+        return self.config.output_latency
+
+    def latency(self) -> float:
+        """Total latency in seconds (reference node method `latency`)."""
+        return (self.config.input_latency + self.config.output_latency) / self.sample_rate
+
+    def set_update_interval(self, seconds: float, callback=None) -> None:
+        self._update_interval = float(seconds)
+        self._update_cb = callback
+
+    # ------------------------------------------------------------- schedule
+    def schedule(self, obj: dict, adjust_previous: bool = False) -> Segment:
+        return self.timemap.schedule(obj, adjust_previous)
+
+    def start(self, when: float | None = None, offset: float = 0.0, duration=None,
+              rate=None, semitones=None) -> None:
+        when = self.output_time if when is None else when
+        self.timemap.start(when, offset, duration, rate, semitones)
+
+    def stop(self, when: float | None = None) -> None:
+        self.timemap.stop(self.output_time if when is None else when)
+
+    @property
+    def output_time(self) -> float:
+        """Current playhead in seconds, offset by output latency like the
+        reference's ``currentTime + outputLatencySeconds`` (:840)."""
+        return self._out_pos / self.sample_rate + self.config.output_latency / self.sample_rate
+
+    # -------------------------------------------------------------- buffers
+    def add_buffers(self, channel_arrays) -> int:
+        """Append one multi-channel buffer; returns total samples loaded."""
+        arrs = [np.asarray(a, np.float32) for a in channel_arrays]
+        n = arrs[0].shape[0]
+        data = np.stack([arrs[c % len(arrs)][:n] for c in range(self.channels)])
+        self._buffers.append(data)
+        self._audio_dev = None
+        return sum(b.shape[1] for b in self._buffers)
+
+    def drop_buffers(self) -> None:
+        self._buffers = []
+        self._audio_dev = None
+
+    def _device_audio(self) -> jnp.ndarray:
+        if self._audio_dev is None:
+            if self._buffers:
+                track = np.concatenate(self._buffers, axis=1)
+            else:
+                track = np.zeros((self.channels, 1), np.float32)
+            self._audio_dev = jnp.asarray(track)
+        return self._audio_dev
+
+    # ------------------------------------------------------------ rendering
+    def process_output(self, n_samples: int) -> np.ndarray:
+        """File-playback pull: render the next ``n_samples`` of output.
+
+        Equivalent to the reference hot path: advance the time map, derive
+        the input read position per hop, seek + process
+        (app/SignalsmithStretch.mjs:884-936).
+        """
+        while self._fifo.shape[1] < n_samples:
+            self._render_hops(self.hops_per_dispatch)
+        out, self._fifo = self._fifo[:, :n_samples], self._fifo[:, n_samples:]
+        self._out_pos += n_samples
+        # report the playhead at the *pulled* position (the reference posts
+        # ['time', inputTime] for the quantum it just rendered, :938-942)
+        self.input_time = self.timemap.input_time_at(self.output_time)
+        return out
+
+    def _render_hops(self, n_hops: int) -> None:
+        cfg = self.config
+        sr = self.sample_rate
+        audio = self._device_audio()
+        ends = np.zeros(n_hops, np.int64)
+        seg = None
+        for h in range(n_hops):
+            # output frame center for this hop, in seconds (+ latency offset)
+            out_center = (self._out_pos + self._fifo.shape[1] + h * cfg.interval + cfg.block // 2)
+            out_t = out_center / sr + cfg.output_latency / sr
+            in_t = self.timemap.input_time_at(out_t)
+            ends[h] = int(round(in_t * sr)) + cfg.block // 2
+            seg = self.timemap.current()
+        params = StretchParams.make(
+            active=1.0 if seg.active else 0.0,
+            rate=seg.rate,
+            semitones=seg.semitones,
+            tonality_hz=seg.tonality_hz,
+            formant_semitones=seg.formant_semitones,
+            formant_compensation=1.0 if seg.formant_compensation else 0.0,
+            formant_base_hz=seg.formant_base_hz,
+            sample_rate=sr,
+        )
+        self._state, out = _chunk_jit(
+            self.config, self._state, audio, jnp.asarray(ends, jnp.int32), params
+        )
+        self._fifo = np.concatenate([self._fifo, np.asarray(out)], axis=1)
+        self._since_update += out.shape[1] / sr
+        if self._update_cb and self._since_update >= self._update_interval:
+            self._since_update = 0.0
+            self._update_cb(self.input_time)
+
+    def flush(self) -> np.ndarray:
+        """Emit the remaining overlap-add tail (reference `_flush`)."""
+        from bauklank_tpu.engine.core import flush as engine_flush
+
+        self._state, tail = engine_flush(self.config, self._state)
+        return np.asarray(tail)

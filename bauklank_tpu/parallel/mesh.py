@@ -1,0 +1,63 @@
+"""Mesh construction and stream sharding.
+
+The reference has no distributed anything (SURVEY.md §2.2) — its concurrency
+is two browser worklets.  Scale-out here is over a ``jax.sharding.Mesh``:
+
+- ``stream``: data parallelism over independent voices — zero collectives,
+  perfectly ICI-free, the dominant axis for serving fleets.
+- ``seq``: optional intra-stream sequence (hop) parallelism for very long
+  offline renders — hops of one stream are spread over chips; the carried
+  rotation product and the OLA boundary cross chips, handled in
+  :func:`bauklank_tpu.parallel.seqpar.stretch_sharded_hops` with XLA
+  collectives.
+
+Shardings are expressed with NamedSharding so the same jitted step runs on
+one chip (trivial mesh) or a pod slice without code changes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bauklank_tpu.engine.batched import batched_process_chunk
+
+__all__ = ["stream_mesh", "shard_streams", "sharded_step"]
+
+
+def stream_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the ``stream`` axis."""
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), ("stream",))
+
+
+def shard_streams(mesh: Mesh, tree):
+    """Place a pytree with leading stream axes onto the mesh (stream-sharded)."""
+    sharding = NamedSharding(mesh, P("stream"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def sharded_step(config, mesh: Mesh):
+    """Compile the batched serving step with stream sharding over ``mesh``.
+
+    Returns a function (states, audios, frame_ends, params) -> (states, out)
+    where every argument and result is sharded on its leading stream axis.
+    States are donated: steady-state serving does not reallocate.
+    """
+    s = NamedSharding(mesh, P("stream"))
+    fn = functools.partial(batched_process_chunk, config)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(s, s, s, s),
+        out_shardings=(s, s),
+        donate_argnums=(0,),
+    )
+    def step(states, audios, frame_ends, params):
+        return fn(states, audios, frame_ends, params)
+
+    return step

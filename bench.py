@@ -1,0 +1,97 @@
+"""Headline benchmark: aggregate real-time factor per chip.
+
+Runs the batched multi-stream serving step (BASELINE config 5 shape: 64
+independent stereo 44.1 kHz streams with per-stream rate/pitch state,
+preset-default engine config) on the default JAX device and reports
+
+    {"metric": "aggregate_realtime_factor", "value": <RTF>,
+     "unit": "x_realtime_per_chip", "vs_baseline": <RTF / 500>}
+
+where RTF = (total output samples/sec across streams) / 44100.  The
+reference operates at 1x real time for its deployed single engine on a
+Raspberry Pi (BASELINE.md); the driver-set target is >=500x aggregate per
+TPU chip, so vs_baseline is reported as the fraction of that 500x target.
+
+Logs go to stderr; stdout is exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bauklank_tpu.engine.batched import batched_step_jit, init_batched_state
+    from bauklank_tpu.engine.config import preset_default
+    from bauklank_tpu.engine.offline import frame_ends_for
+    from bauklank_tpu.engine.params import StretchParams
+
+    sr = 44100.0
+    n_streams = 64
+    hops = 32
+    config = preset_default(channels=2, sample_rate=sr)
+    log(f"device={jax.devices()[0]}  config=block{config.block}/int{config.interval}  streams={n_streams}")
+
+    rng = np.random.default_rng(0)
+    t = int(10 * sr)
+    audios = jnp.asarray((rng.standard_normal((n_streams, 2, t)) * 0.2).astype(np.float32))
+    rates = np.linspace(0.5, 2.0, n_streams)
+    params = StretchParams.stack(
+        [
+            StretchParams.make(rate=r, semitones=s, sample_rate=sr)
+            for r, s in zip(rates, np.linspace(-12, 12, n_streams))
+        ]
+    )
+    states = init_batched_state(config, n_streams)
+
+    def ends_at(step_idx):
+        return jnp.asarray(
+            np.stack(
+                [frame_ends_for(config, step_idx * hops * config.interval, hops, r) for r in rates]
+            ),
+            jnp.int32,
+        )
+
+    # warmup / compile — and materialize to catch silent async failures
+    states, out = batched_step_jit(config, states, audios, ends_at(0), params)
+    rms = float(np.sqrt(np.mean(np.asarray(out) ** 2)))
+    assert np.isfinite(rms) and rms > 0, rms
+    log(f"compiled; warm step done, output rms={rms:.4f}")
+
+    n_steps = 8
+    ends = [ends_at(i + 1) for i in range(n_steps)]
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        states, out = batched_step_jit(config, states, audios, ends[i], params)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    out_samples = n_steps * n_streams * hops * config.interval
+    rtf = out_samples / dt / sr
+    log(f"{n_steps} steps in {dt:.3f}s -> {rtf:.1f}x realtime aggregate ({rtf/n_streams:.1f}x per stream)")
+
+    print(
+        json.dumps(
+            {
+                "metric": "aggregate_realtime_factor",
+                "value": round(rtf, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(rtf / 500.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

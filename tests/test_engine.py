@@ -1,0 +1,143 @@
+"""Engine-level behavioral tests: identity reconstruction, time-stretch of
+tones, pitch shift, formant neutrality, state streaming continuity."""
+
+import numpy as np
+import pytest
+
+from tests.util import dominant_freq, snr_db, tone
+
+import jax.numpy as jnp
+
+from bauklank_tpu.engine import (
+    StretchConfig,
+    StretchParams,
+    init_state,
+    process_chunk,
+    stretch_offline,
+)
+from bauklank_tpu.engine.offline import frame_ends_for
+
+SR = 44100.0
+CFG = StretchConfig(channels=1, block=1764, interval=441, formants=True)
+
+
+def _mono(x):
+    return np.asarray(x, np.float32)[None, :]
+
+
+def test_identity_reconstruction():
+    """rate=1, no pitch: output equals input (after warm-up) to high SNR."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(SR.__int__()).astype(np.float32) * 0.3
+    y = stretch_offline(_mono(x), 1.0, CFG)
+    b = CFG.block
+    n = min(x.shape[0], y.shape[1]) - b
+    s = snr_db(x[b:n], y[0, b:n])
+    assert s > 50, s
+
+
+def test_stretch_preserves_tone_frequency():
+    """Stretching a sine by 2x keeps its frequency (the whole point of a
+    phase vocoder vs naive resampling)."""
+    f = 440.0
+    x = tone(f, int(2 * SR), SR)
+    for rate in (0.5, 0.75, 1.5, 2.0):
+        y = stretch_offline(_mono(x), rate, CFG, n_out=int(SR))
+        seg = y[0, CFG.block * 2 : CFG.block * 2 + 8192]
+        got = dominant_freq(seg, SR)
+        assert abs(got - f) < 3.0, (rate, got)
+
+
+def test_pitch_shift_moves_tone_frequency():
+    f = 440.0
+    x = tone(f, int(2 * SR), SR)
+    for semis in (-12, -5, 7, 12):
+        params = StretchParams.make(rate=1.0, semitones=semis, tonality_hz=8000.0, sample_rate=SR)
+        y = stretch_offline(_mono(x), 1.0, CFG, params=params, n_out=int(SR))
+        seg = y[0, CFG.block * 2 : CFG.block * 2 + 8192]
+        want = f * 2.0 ** (semis / 12.0)
+        got = dominant_freq(seg, SR)
+        assert abs(got - want) / want < 0.01, (semis, got, want)
+
+
+def test_tonality_limit_offsets_highs():
+    """Above the tonality limit, frequencies shift by a constant offset, not
+    a ratio (reference transpose semantics, app/SignalsmithStretch.mjs:471)."""
+    f_hi = 12000.0
+    tonality = 4000.0
+    factor = 2.0 ** (12 / 12.0)
+    x = tone(f_hi, int(2 * SR), SR)
+    params = StretchParams.make(rate=1.0, semitones=12, tonality_hz=tonality, sample_rate=SR)
+    y = stretch_offline(_mono(x), 1.0, CFG, params=params, n_out=int(SR))
+    seg = y[0, CFG.block * 2 : CFG.block * 2 + 8192]
+    got = dominant_freq(seg, SR)
+    limit = tonality / np.sqrt(factor)
+    want = f_hi + limit * (factor - 1.0)  # offset mapping above the limit
+    assert abs(got - want) / want < 0.02, (got, want)
+
+
+def test_stretch_output_energy_stable():
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(int(2 * SR)) * 0.25).astype(np.float32)
+    y = stretch_offline(_mono(x), 0.5, CFG, n_out=int(2 * SR))
+    seg = y[0, CFG.block * 2 : -CFG.block]
+    in_rms = np.sqrt(np.mean(x**2))
+    out_rms = np.sqrt(np.mean(seg**2))
+    assert 0.5 < out_rms / in_rms < 2.0, (in_rms, out_rms)
+
+
+def test_chunked_equals_single_dispatch():
+    """Streaming in small chunks must produce the same samples as one big
+    chunk (state carry correctness)."""
+    rng = np.random.default_rng(4)
+    cfg = StretchConfig(channels=2, block=512, interval=128, formants=True)
+    x = rng.standard_normal((2, 20000)).astype(np.float32)
+    params = StretchParams.make(rate=0.8, semitones=3, sample_rate=SR)
+    audio = jnp.asarray(x)
+
+    total_hops = 96
+    ends_all = frame_ends_for(cfg, 0, total_hops, 0.8)
+
+    state = init_state(cfg)
+    _, big = process_chunk(cfg, state, audio, jnp.asarray(ends_all, jnp.int32), params)
+    big = np.asarray(big)
+
+    state = init_state(cfg)
+    outs = []
+    for i in range(0, total_hops, 8):
+        state, o = process_chunk(cfg, state, audio, jnp.asarray(ends_all[i : i + 8], jnp.int32), params)
+        outs.append(np.asarray(o))
+    small = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(small, big, atol=2e-4)
+
+
+def test_inactive_stream_is_silent():
+    x = tone(440.0, int(SR), SR)
+    params = StretchParams.make(active=0.0, rate=1.0)
+    y = stretch_offline(_mono(x), 1.0, CFG, params=params, n_out=20000)
+    assert np.max(np.abs(y)) == 0.0
+
+
+def test_formant_neutral_when_off():
+    """formant_factor=1, compensation off: formant path must be an exact
+    no-op (gain == 1)."""
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(int(SR)) * 0.2).astype(np.float32)
+    cfg_on = StretchConfig(channels=1, block=1764, interval=441, formants=True)
+    cfg_off = StretchConfig(channels=1, block=1764, interval=441, formants=False)
+    y_on = stretch_offline(_mono(x), 0.7, cfg_on, n_out=30000)
+    y_off = stretch_offline(_mono(x), 0.7, cfg_off, n_out=30000)
+    assert snr_db(y_off, y_on) > 50
+
+
+def test_flush_and_latency_surface():
+    from bauklank_tpu.engine.core import flush
+
+    cfg = StretchConfig(channels=1, block=1764, interval=441, split_computation=True)
+    assert cfg.input_latency == 882
+    assert cfg.output_latency == 882 + 441
+    assert cfg.seek_len == 1764 + 441
+    st = init_state(cfg)
+    st2, tail = flush(cfg, st)
+    assert tail.shape == (1, cfg.block)
+    assert float(jnp.max(jnp.abs(st2.ola_tail))) == 0.0

@@ -1,0 +1,115 @@
+"""Unit tests for the DSP ops: windows (COLA), MDFT round-trip, framing,
+fractional gather, resampler SNR."""
+
+import numpy as np
+import pytest
+
+from tests.util import snr_db, tone
+
+import jax.numpy as jnp
+
+from bauklank_tpu.ops import framing, mdft, pitchmap, resample, windows
+
+
+@pytest.mark.parametrize("block,interval", [(512, 128), (480, 320), (882, 441), (8820, 2205), (1024, 1024)])
+def test_cola_property(block, interval):
+    wa, ws = windows.pr_window_pair(block, interval)
+    norm = windows.ola_norm((wa * ws).astype(np.float64), interval)
+    assert np.allclose(norm, 1.0, atol=1e-6), (norm.min(), norm.max())
+
+
+@pytest.mark.parametrize("n", [256, 510, 882, 4096])
+def test_mdft_roundtrip(n):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    spec = mdft.mdft(jnp.asarray(x))
+    assert spec.shape == (3, n // 2)
+    back = np.asarray(mdft.imdft(spec, n))
+    assert snr_db(x, back) > 110
+
+
+def test_mdft_band_centers():
+    # A tone exactly at band k's center lands entirely in band k.
+    n = 1024
+    k = 37
+    f = (k + 0.5) / n
+    x = np.cos(2 * np.pi * f * np.arange(n)).astype(np.float32)
+    spec = np.asarray(mdft.mdft(jnp.asarray(x)))
+    mags = np.abs(spec)
+    assert np.argmax(mags) == k
+    others = np.delete(mags, k)
+    assert mags[k] > 1e3 * others.max()
+
+
+def test_gather_frames_zero_pad():
+    sig = jnp.asarray(np.arange(10, dtype=np.float32))[None, :]  # [1, 10]
+    starts = jnp.asarray([-2, 0, 7], dtype=jnp.int32)  # [3]
+    frames = np.asarray(framing.gather_frames(sig, starts, 4))
+    assert frames.shape == (1, 3, 4)
+    np.testing.assert_array_equal(frames[0, 0], [0, 0, 0, 1])
+    np.testing.assert_array_equal(frames[0, 1], [0, 1, 2, 3])
+    np.testing.assert_array_equal(frames[0, 2], [7, 8, 9, 0])
+    # fully out of range (either side) -> all zeros
+    far = np.asarray(
+        framing.gather_frames(sig, jnp.asarray([-4, -100, 10, 500], jnp.int32), 4)
+    )
+    np.testing.assert_array_equal(far, np.zeros((1, 4, 4), np.float32))
+
+
+def test_gather_frames_broadcast_channels():
+    rng = np.random.default_rng(1)
+    sig = rng.standard_normal((2, 64)).astype(np.float32)
+    starts = np.asarray([0, 16, 40], np.int32)
+    frames = np.asarray(framing.gather_frames(jnp.asarray(sig), jnp.asarray(starts), 8))
+    assert frames.shape == (2, 3, 8)
+    np.testing.assert_allclose(frames[1, 2], sig[1, 40:48])
+
+
+@pytest.mark.parametrize("block,interval,hops", [(16, 4, 7), (15, 4, 5), (12, 12, 3)])
+def test_overlap_add_matches_naive(block, interval, hops):
+    rng = np.random.default_rng(2)
+    frames = rng.standard_normal((2, hops, block)).astype(np.float32)
+    out_len = hops * interval + block
+    got = np.asarray(framing.overlap_add(jnp.asarray(frames), interval, out_len))
+    want = np.zeros((2, out_len), np.float32)
+    for h in range(hops):
+        want[:, h * interval : h * interval + block] += frames[:, h]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fractional_gather_linear():
+    spec = jnp.asarray(np.arange(8, dtype=np.float32) + 1j * np.arange(8, dtype=np.float32) * 2).astype(jnp.complex64)
+    pos = jnp.asarray([0.0, 1.5, 6.25, -0.5, 7.5], jnp.float32)
+    got = np.asarray(pitchmap.gather_fractional(spec, pos))
+    np.testing.assert_allclose(got[0], 0 + 0j, atol=1e-6)
+    np.testing.assert_allclose(got[1], 1.5 + 3j, atol=1e-6)
+    np.testing.assert_allclose(got[2], 6.25 + 12.5j, atol=1e-5)
+    # Half outside the range: contributions from invalid taps are zero.
+    np.testing.assert_allclose(got[3], 0.0 + 0j, atol=1e-6)
+    np.testing.assert_allclose(got[4], 3.5 + 7j, atol=1e-5)
+
+
+def test_map_unmap_inverse():
+    freqs = jnp.linspace(0.001, 0.5, 256)
+    for factor in (0.5, 1.0, 1.7, 2.0):
+        lim = pitchmap.effective_tonality_limit(jnp.float32(factor), jnp.float32(0.18))
+        mapped = pitchmap.map_freq(freqs, factor, lim)
+        back = np.asarray(pitchmap.unmap_freq(mapped, factor, lim))
+        np.testing.assert_allclose(back, np.asarray(freqs), rtol=1e-5, atol=1e-6)
+        # continuity at the limit
+        eps = 1e-4
+        below = float(pitchmap.map_freq(lim - eps, factor, lim))
+        above = float(pitchmap.map_freq(lim + eps, factor, lim))
+        assert abs(below - above) < 10 * eps * max(factor, 1.0)
+
+
+def test_resample_sine_snr():
+    sr = 44100.0
+    n = 8192
+    x = tone(1000.0, n, sr)
+    ratio = 0.731
+    out_len = int(n / ratio) - 8
+    y = np.asarray(resample.resample(jnp.asarray(x)[None, :], jnp.float32(ratio), out_len, start=2.0))[0]
+    t = (2.0 + np.arange(out_len) * ratio)
+    want = np.sin(2 * np.pi * 1000.0 / sr * t + 0.3)
+    assert snr_db(want[100:-100], y[100:-100]) > 60
