@@ -1,0 +1,234 @@
+"""StreamPool: many voices, one batched TPU dispatch per step.
+
+This is the TPU-native replacement for the reference's per-engine
+AudioWorklet instances + Web Audio mixing graph (gain -> panL/panR ->
+ChannelMerger(2) -> destination — reference: app/multi/app.mjs:149-162,
+340-351).  All voices share one engine configuration (shape), one device
+step, and one mixdown; per-voice rate/pitch/formant state is data
+(BASELINE config 5: 64+ independent streams).
+
+Control semantics mirror ``applyIncomingSet`` / ``controlsChanged``
+(app/multi/app.mjs:537-616, 434-534): control keys route into each voice's
+time map with a configurable look-ahead (0.1 s in the reference, :494);
+volume/pan ramp linearly over 30 ms (:450-465); clamps follow §2.5
+(rate [1e-5, 2], semitones ±48, tonalityHz [20, 22050],
+formantBaseHz [20, 2000]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bauklank_tpu.engine.batched import batched_process_chunk, init_batched_state
+from bauklank_tpu.engine.config import StretchConfig, preset_default
+from bauklank_tpu.engine.params import StretchParams
+from bauklank_tpu.schedule.timemap import TimeMap
+
+__all__ = ["StreamPool", "VoiceSlot", "CONTROL_CLAMPS"]
+
+SCHEDULE_LOOKAHEAD_SEC = 0.1  # reference: app/multi/app.mjs:494
+RAMP_SEC = 0.03               # reference: app/multi/app.mjs:454
+
+CONTROL_CLAMPS = {
+    "rate": (1e-5, 2.0),          # app/multi/app.mjs:483
+    "semitones": (-48.0, 48.0),   # :484
+    "tonalityHz": (20.0, 22050.0),
+    "formantSemitones": (-48.0, 48.0),
+    "formantBaseHz": (0.0, 2000.0),  # 0 = auto-detect stays allowed
+}
+
+_TIMEMAP_KEYS = {
+    "active", "rate", "semitones", "tone", "tonalityHz", "formantSemitones",
+    "formantCompensation", "formantBaseHz", "loopStart", "loopEnd",
+}
+
+
+@dataclasses.dataclass
+class VoiceSlot:
+    name: str
+    timemap: TimeMap = dataclasses.field(default_factory=TimeMap)
+    volume: float = 0.1      # kiosk default (app/multi/app.mjs:106-130)
+    pan: float = 0.0
+    _prev_volume: float = 0.1
+    _prev_pan: float = 0.0
+    track_len: int = 0
+    loaded: bool = False
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _pool_step(config, states, audios, ends, params, gains, pans):
+    """One batched step + 30ms-style linear mix ramp + stereo mixdown.
+
+    gains/pans: [S, 2] (start, end) per chunk.
+    Returns (states, master [2, n], streams [S, C, n]).
+    """
+    states, out = batched_process_chunk(config, states, audios, ends, params)
+    n = out.shape[-1]
+    t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)[None, :]
+    g = gains[:, :1] + (gains[:, 1:] - gains[:, :1]) * t      # [S, n]
+    p = pans[:, :1] + (pans[:, 1:] - pans[:, :1]) * t          # [S, n]
+    mono = jnp.mean(out, axis=1)                               # [S, n]
+    pan_l = jnp.minimum(1.0, 1.0 - p)
+    pan_r = jnp.minimum(1.0, 1.0 + p)
+    master_l = jnp.sum(mono * g * pan_l, axis=0)
+    master_r = jnp.sum(mono * g * pan_r, axis=0)
+    return states, jnp.stack([master_l, master_r]), out
+
+
+class StreamPool:
+    """Fixed-capacity batched voice pool.
+
+    capacity is a compile-time shape; slots are named (defaults "s00"...,
+    or the kiosk's "A"/"B" naming if you pass names).
+    """
+
+    def __init__(
+        self,
+        capacity: int = 64,
+        sample_rate: float = 44100.0,
+        channels: int = 2,
+        config: StretchConfig | None = None,
+        max_track_sec: float = 30.0,
+        names: list[str] | None = None,
+        hops_per_step: int = 1,
+    ) -> None:
+        self.sample_rate = float(sample_rate)
+        self.config = config or preset_default(channels, sample_rate)
+        self.capacity = capacity
+        self.hops_per_step = hops_per_step
+        self.max_track = int(max_track_sec * sample_rate)
+        self.slots = [VoiceSlot(names[i] if names else f"s{i:02d}") for i in range(capacity)]
+        self._by_name = {s.name: i for i, s in enumerate(self.slots)}
+        self._audio_host = np.zeros((capacity, channels, self.max_track), np.float32)
+        self._audio_dev: jnp.ndarray | None = None
+        self.states = init_batched_state(self.config, capacity)
+        self.out_pos = 0  # output samples stepped so far
+
+    # ------------------------------------------------------------- loading
+    def load_track(self, slot: str, channel_arrays) -> int:
+        i = self._by_name[slot]
+        arrs = [np.asarray(a, np.float32) for a in channel_arrays]
+        n = min(arrs[0].shape[0], self.max_track)
+        c = self._audio_host.shape[1]
+        self._audio_host[i] = 0.0
+        for ch in range(c):
+            self._audio_host[i, ch, :n] = arrs[ch % len(arrs)][:n]
+        self.slots[i].track_len = n
+        self.slots[i].loaded = True
+        self._audio_dev = None
+        return n
+
+    def drop_track(self, slot: str) -> None:
+        i = self._by_name[slot]
+        self._audio_host[i] = 0.0
+        self.slots[i].track_len = 0
+        self.slots[i].loaded = False
+        self._audio_dev = None
+
+    def _device_audio(self) -> jnp.ndarray:
+        if self._audio_dev is None:
+            self._audio_dev = jnp.asarray(self._audio_host)
+        return self._audio_dev
+
+    # ------------------------------------------------------------- control
+    @property
+    def output_time(self) -> float:
+        return self.out_pos / self.sample_rate + self.config.output_latency / self.sample_rate
+
+    def apply_set(self, slot: str, key: str, value: Any, lookahead: float = SCHEDULE_LOOKAHEAD_SEC) -> bool:
+        """Route one control change (the §2.3 ``set`` message) to a voice.
+
+        Returns False for unknown slots/keys (logged by the server layer).
+        """
+        if slot not in self._by_name:
+            return False
+        i = self._by_name[slot]
+        s = self.slots[i]
+        if key in ("volume", "volumePercent"):
+            v = float(value) / (100.0 if key == "volumePercent" else 1.0)
+            s.volume = float(np.clip(v, 0.0, 1.0))
+            return True
+        if key == "pan":
+            s.pan = float(np.clip(float(value), -1.0, 1.0))
+            return True
+        if key not in _TIMEMAP_KEYS:
+            return False
+        if key in CONTROL_CLAMPS or (key == "tone"):
+            lo, hi = CONTROL_CLAMPS.get("semitones" if key == "tone" else key, (None, None))
+            if lo is not None:
+                value = float(np.clip(float(value), lo, hi))
+        s.timemap.schedule({key: value, "output": self.output_time + lookahead})
+        return True
+
+    def schedule(self, slot: str, obj: dict, adjust_previous: bool = False):
+        return self.slots[self._by_name[slot]].timemap.schedule(obj, adjust_previous)
+
+    def start(self, slot: str, when: float | None = None, **kw) -> None:
+        self.slots[self._by_name[slot]].timemap.start(
+            self.output_time if when is None else when, **kw
+        )
+
+    def stop(self, slot: str, when: float | None = None) -> None:
+        self.slots[self._by_name[slot]].timemap.stop(
+            self.output_time if when is None else when
+        )
+
+    def input_time(self, slot: str) -> float:
+        return self.slots[self._by_name[slot]].timemap.input_time_at(self.output_time)
+
+    # --------------------------------------------------------------- step
+    def step(self):
+        """Render the next chunk for every voice.
+
+        Returns (master [2, n], streams [S, C, n]) as device arrays;
+        n = hops_per_step * interval.
+        """
+        cfg = self.config
+        sr = self.sample_rate
+        h = self.hops_per_step
+        ends = np.zeros((self.capacity, h), np.int64)
+        p_list = []
+        gains = np.zeros((self.capacity, 2), np.float32)
+        pans = np.zeros((self.capacity, 2), np.float32)
+        for i, s in enumerate(self.slots):
+            seg = None
+            for k in range(h):
+                out_center = self.out_pos + k * cfg.interval + cfg.block // 2
+                out_t = out_center / sr + cfg.output_latency / sr
+                in_t = s.timemap.input_time_at(out_t)
+                ends[i, k] = int(round(in_t * sr)) + cfg.block // 2
+                seg = s.timemap.current()
+            p_list.append(
+                StretchParams.make(
+                    active=1.0 if (seg.active and s.loaded) else 0.0,
+                    rate=seg.rate,
+                    semitones=seg.semitones,
+                    tonality_hz=seg.tonality_hz,
+                    formant_semitones=seg.formant_semitones,
+                    formant_compensation=1.0 if seg.formant_compensation else 0.0,
+                    formant_base_hz=seg.formant_base_hz,
+                    sample_rate=sr,
+                )
+            )
+            gains[i] = (s._prev_volume, s.volume)
+            pans[i] = (s._prev_pan, s.pan)
+            s._prev_volume = s.volume
+            s._prev_pan = s.pan
+        params = StretchParams.stack(p_list)
+        self.states, master, streams = _pool_step(
+            cfg,
+            self.states,
+            self._device_audio(),
+            jnp.asarray(ends, jnp.int32),
+            params,
+            jnp.asarray(gains),
+            jnp.asarray(pans),
+        )
+        self.out_pos += h * cfg.interval
+        return master, streams

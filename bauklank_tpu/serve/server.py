@@ -1,0 +1,270 @@
+"""asyncio WebSocket control-plane server.
+
+The TPU-side equivalent of the reference's serial<->WebSocket bridge
+(reference: server-multi.py): one asyncio process running
+
+- a WebSocket JSON hub broadcasting ``serverVersion`` / ``machineStatus`` /
+  ``controllerStatus`` / ``set`` to every client, with dead-socket reaping
+  (reference :441-455) and on-connect status beacons (:474-485);
+- a controller-scan task that probes transports every 2 s with the
+  whoareyou/hello handshake and attaches at most one controller
+  (:888-915), detaching on read errors (:863-885);
+- encoder-liveness and machine-status refresh tasks (:458-471, :680-719)
+  and a 60 s heartbeat log line (:664-677).
+
+One deliberate difference: the reference browser runs the DSP, so its
+server only forwards control messages.  Here the server *owns* a
+:class:`~bauklank_tpu.serve.pool.StreamPool` — every ``set`` is both
+broadcast to UI clients and applied to the batched TPU voices, and WS
+clients may send ``set`` messages themselves (the reference only logs
+inbound frames, :488-489).
+
+Log style follows the reference's greppable taxonomy (🔎 scan, 🧪 probe,
+📟 serial, 💓 heartbeat, 📡 status) with HH:MM:SS.mmm timestamps and a
+startup-vs-run log-level switch (:186-209, :927-947).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import time
+from typing import Iterable
+
+from bauklank_tpu.serve import protocol
+from bauklank_tpu.serve.pool import StreamPool
+from bauklank_tpu.serve.serial import (
+    EncoderLiveness,
+    SerialSession,
+    Transport,
+    probe_transport,
+)
+from bauklank_tpu.serve.slots import SlotAllocator
+
+__all__ = ["ControlServer", "main"]
+
+log = logging.getLogger("bauklank.serve")
+
+SERIAL_SCAN_SEC = 2.0       # reference: server-multi.py:83
+MACHINE_STATUS_SEC = 5.0    # :471
+HEARTBEAT_SEC = 60.0        # :171
+ENCODER_REFRESH_SEC = 5.0   # :698
+
+
+def _setup_logging(level: str) -> None:
+    logging.basicConfig(
+        level=getattr(logging, level.upper(), logging.INFO),
+        format="%(asctime)s.%(msecs)03d | %(levelname)s | %(message)s",
+        datefmt="%H:%M:%S",
+        force=True,
+    )
+
+
+class ControlServer:
+    def __init__(
+        self,
+        pool: StreamPool | None = None,
+        engine_slots: list[str] | None = None,
+        transports: Iterable[Transport] | None = None,
+        ws_host: str = "0.0.0.0",
+        ws_port: int = 8765,  # reference: server-multi.py:80
+    ) -> None:
+        self.engine_slots = engine_slots or ["A"]
+        self.pool = pool
+        self.ws_host = ws_host
+        self.ws_port = ws_port
+        self.clients: set = set()
+        self.allocator = SlotAllocator(self.engine_slots)
+        self.liveness = EncoderLiveness(self.engine_slots)
+        self.session: SerialSession | None = None
+        self._transports = list(transports or [])
+        self._last_controller_status: dict | None = None
+        self._msg_count = 0
+        self._stop = asyncio.Event()
+
+    # ------------------------------------------------------------ transport
+    def add_transport(self, t: Transport) -> None:
+        """Make a candidate device visible to the scan loop (tests plug
+        FakeController instances in here; hardware integration lists
+        pyserial ports instead)."""
+        self._transports.append(t)
+
+    # ------------------------------------------------------------ broadcast
+    async def broadcast(self, msg: dict) -> None:
+        dead = []
+        data = json.dumps(msg)
+        for ws in self.clients:
+            try:
+                await ws.send(data)
+            except Exception:
+                dead.append(ws)
+        for ws in dead:  # reap like the reference (:448-455)
+            self.clients.discard(ws)
+
+    def controller_status(self) -> dict:
+        attached = self.session is not None
+        return protocol.controller_status_msg(
+            connected=attached,
+            port=getattr(self.session.transport, "device_id", "mem") if attached else None,
+            device_id=self.session.hello.get("deviceId") if attached else None,
+            fw=self.session.hello.get("fw") if attached else None,
+            engines=self.engine_slots,
+            encoder_ages_ms=self.liveness.ages_ms(),
+        )
+
+    # ------------------------------------------------------------- handlers
+    async def ws_handler(self, websocket) -> None:
+        self.clients.add(websocket)
+        try:
+            await websocket.send(json.dumps(protocol.server_version_msg()))
+            await websocket.send(json.dumps(protocol.machine_status_msg()))
+            await websocket.send(json.dumps(self.controller_status()))
+            async for raw in websocket:
+                self._msg_count += 1
+                msg = protocol.parse_line(raw)
+                if not msg:
+                    continue
+                if msg.get("type") == "hello":
+                    log.info("📡 client hello: %s", msg.get("engineSlots"))
+                elif msg.get("type") == "set":
+                    await self._handle_set(msg, from_ws=True)
+        finally:
+            self.clients.discard(websocket)
+
+    async def _handle_set(self, msg: dict, from_ws: bool = False) -> None:
+        channel = msg.get("channel") or msg.get("engine")
+        key = msg.get("key")
+        value = msg.get("value")
+        if channel not in self.engine_slots or not isinstance(key, str):
+            return
+        if self.pool is not None:
+            pool_key = {"tone": "semitones", "volume": "volumePercent"}.get(key, key)
+            self.pool.apply_set(channel, pool_key, value)
+        out = protocol.set_msg(channel, key, value)
+        await self.broadcast(out)
+
+    def _forward_from_serial(self, msg: dict) -> None:
+        # called synchronously from the pump; schedule async fan-out
+        asyncio.get_running_loop().create_task(self._handle_set(msg))
+
+    # --------------------------------------------------------------- tasks
+    async def serial_manager_task(self) -> None:
+        """Probe/attach loop (reference :888-915) + line pump."""
+        while not self._stop.is_set():
+            if self.session is None:
+                for t in list(self._transports):
+                    log.debug("🧪 probing %r", t)
+                    hello = probe_transport(t)
+                    if hello:
+                        self.session = SerialSession(
+                            t, hello, self.engine_slots, self._forward_from_serial, self.liveness
+                        )
+                        slot = self.allocator.assign(hello.get("deviceId", "?"))
+                        log.info(
+                            "📟 controller attached: %s fw=%s slot=%s",
+                            hello.get("deviceId"), hello.get("fw"), slot,
+                        )
+                        await self._push_controller_status(force=True)
+                        break
+                if self.session is None:
+                    log.debug("🔎 scan: no controller")
+                    await asyncio.sleep(SERIAL_SCAN_SEC)
+                    continue
+            try:
+                n = self.session.pump()
+            except OSError:
+                dev = self.session.hello.get("deviceId", "?")
+                log.warning("📟 controller detached: %s", dev)
+                self.allocator.release(dev)
+                try:
+                    self.session.transport.close()
+                except Exception:
+                    pass
+                self.session = None
+                self.liveness.clear()
+                await self._push_controller_status(force=True)
+                continue
+            await asyncio.sleep(0.01 if n else 0.05)
+
+    async def _push_controller_status(self, force: bool = False) -> None:
+        msg = self.controller_status()
+        key = json.dumps(
+            {**msg, "encoders": {c: v["online"] for c, v in msg["encoders"]["channels"].items()}},
+            sort_keys=True,
+        )
+        if force or key != self._last_controller_status:
+            self._last_controller_status = key
+            await self.broadcast(msg)
+            log.info("📡 controllerStatus: connected=%s", msg["connected"])
+
+    async def encoder_status_task(self) -> None:
+        """Flip detection at ~1 Hz + periodic refresh (reference :680-719)."""
+        last_refresh = 0.0
+        while not self._stop.is_set():
+            now = time.monotonic()
+            await self._push_controller_status(force=(now - last_refresh) >= ENCODER_REFRESH_SEC)
+            if (now - last_refresh) >= ENCODER_REFRESH_SEC:
+                last_refresh = now
+            await asyncio.sleep(1.0)
+
+    async def machine_status_task(self) -> None:
+        while not self._stop.is_set():
+            await self.broadcast(protocol.machine_status_msg())
+            await asyncio.sleep(MACHINE_STATUS_SEC)
+
+    async def heartbeat_task(self) -> None:
+        while not self._stop.is_set():
+            await asyncio.sleep(HEARTBEAT_SEC)
+            log.info(
+                "💓 heartbeat: clients=%d controller=%s msgs=%d",
+                len(self.clients), self.session is not None, self._msg_count,
+            )
+
+    # ----------------------------------------------------------------- run
+    async def run(self) -> None:
+        import websockets
+
+        async with websockets.serve(self.ws_handler, self.ws_host, self.ws_port):
+            log.info("serving ws://%s:%d (slots=%s)", self.ws_host, self.ws_port, self.engine_slots)
+            await asyncio.gather(
+                self.serial_manager_task(),
+                self.machine_status_task(),
+                self.encoder_status_task(),
+                self.heartbeat_task(),
+            )
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+def _parse_args(argv=None):
+    """CLI mirrors the reference flags (server-multi.py:101-148)."""
+    ap = argparse.ArgumentParser(description="bauklank_tpu control-plane server")
+    ap.add_argument("--engine-count", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--slot", default="A", choices=("A", "B"))
+    ap.add_argument("--ws-host", default="0.0.0.0")
+    ap.add_argument("--ws-port", type=int, default=8765)
+    ap.add_argument("--startup-log-level", default="info")
+    ap.add_argument("--run-log-level", default="info")
+    ap.add_argument("--pool-capacity", type=int, default=0,
+                    help="batched voice slots; 0 = control-plane only")
+    return ap.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = _parse_args(argv)
+    _setup_logging(args.startup_log_level)
+    slots = ["A", "B"] if args.engine_count == 2 else [args.slot]
+    pool = None
+    if args.pool_capacity:
+        pool = StreamPool(capacity=args.pool_capacity, names=slots[: args.pool_capacity])
+    server = ControlServer(pool=pool, engine_slots=slots,
+                           ws_host=args.ws_host, ws_port=args.ws_port)
+    _setup_logging(args.run_log_level)
+    asyncio.run(server.run())
+
+
+if __name__ == "__main__":
+    main()

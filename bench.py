@@ -12,6 +12,11 @@ reference operates at 1x real time for its deployed single engine on a
 Raspberry Pi (BASELINE.md); the driver-set target is >=500x aggregate per
 TPU chip, so vs_baseline is reported as the fraction of that 500x target.
 
+Environment notes (tunneled TPU): block_until_ready may return before work
+completes until a device->host transfer has occurred, so timing is fenced
+with a jitted scalar reduction; first-touch (init + first compile) can take
+minutes and is excluded from the timed region.
+
 Logs go to stderr; stdout is exactly one JSON line.
 """
 
@@ -44,7 +49,7 @@ def main():
     log(f"device={jax.devices()[0]}  config=block{config.block}/int{config.interval}  streams={n_streams}")
 
     rng = np.random.default_rng(0)
-    t = int(10 * sr)
+    t = int(6 * sr)
     audios = jnp.asarray((rng.standard_normal((n_streams, 2, t)) * 0.2).astype(np.float32))
     rates = np.linspace(0.5, 2.0, n_streams)
     params = StretchParams.stack(
@@ -54,6 +59,7 @@ def main():
         ]
     )
     states = init_batched_state(config, n_streams)
+    rms_jit = jax.jit(lambda o: jnp.sqrt(jnp.mean(jnp.square(o))))
 
     def ends_at(step_idx):
         return jnp.asarray(
@@ -63,18 +69,19 @@ def main():
             jnp.int32,
         )
 
-    # warmup / compile — and materialize to catch silent async failures
+    # warmup / compile; scalar materialization fences completion
+    t0 = time.perf_counter()
     states, out = batched_step_jit(config, states, audios, ends_at(0), params)
-    rms = float(np.sqrt(np.mean(np.asarray(out) ** 2)))
+    rms = float(rms_jit(out))
     assert np.isfinite(rms) and rms > 0, rms
-    log(f"compiled; warm step done, output rms={rms:.4f}")
+    log(f"compiled+warm in {time.perf_counter()-t0:.0f}s, output rms={rms:.4f}")
 
     n_steps = 8
     ends = [ends_at(i + 1) for i in range(n_steps)]
     t0 = time.perf_counter()
     for i in range(n_steps):
         states, out = batched_step_jit(config, states, audios, ends[i], params)
-    jax.block_until_ready(out)
+    float(rms_jit(out))  # fence
     dt = time.perf_counter() - t0
 
     out_samples = n_steps * n_streams * hops * config.interval

@@ -1,0 +1,231 @@
+"""Control-plane tests: protocol shapes, slot allocation, serial handshake,
+pool control routing, and a live WebSocket end-to-end session."""
+
+import asyncio
+import json
+import socket
+
+import numpy as np
+import pytest
+
+from tests.util import tone
+
+from bauklank_tpu.engine.config import StretchConfig
+from bauklank_tpu.serve import protocol
+from bauklank_tpu.serve.pool import StreamPool
+from bauklank_tpu.serve.serial import EncoderLiveness, FakeController, SerialSession, probe_transport
+from bauklank_tpu.serve.server import ControlServer
+from bauklank_tpu.serve.slots import SlotAllocator
+
+SR = 44100.0
+
+
+# ------------------------------------------------------------------ protocol
+def test_protocol_messages_shape():
+    v = protocol.server_version_msg()
+    assert v["type"] == "serverVersion" and v["version"]
+    m = protocol.machine_status_msg()
+    assert m["type"] == "machineStatus"
+    for k in ("hostname", "user", "platform", "arch", "ip", "ips", "python"):
+        assert k in m
+    c = protocol.controller_status_msg(
+        connected=True, port="/dev/x", device_id="d1", fw="1",
+        engines=["A", "B"], encoder_ages_ms={"A": 100.0, "B": None},
+    )
+    assert c["encoders"]["channels"]["A"]["online"] is True
+    assert c["encoders"]["channels"]["B"]["online"] is False
+    assert c["encoders"]["timeoutSec"] == 10.0
+    s = protocol.set_msg("A", "rate", 0.01)
+    assert s == {"type": "set", "channel": "A", "engine": "A", "key": "rate", "value": 0.01}
+
+
+def test_normalize_set_value():
+    assert protocol.normalize_set_value("volume", "42.7") == 43
+    assert protocol.normalize_set_value("tone", -3.2) == -3
+    assert protocol.normalize_set_value("rate", "0.125") == 0.125
+    assert protocol.normalize_set_value("rate", "garbage") is None
+    assert protocol.normalize_set_value("other", "x") == "x"
+
+
+def test_parse_line_tolerates_garbage():
+    assert protocol.parse_line(b"hello world\n") is None
+    assert protocol.parse_line(b"{broken json\n") is None
+    assert protocol.parse_line(b"[1,2]\n") is None
+    assert protocol.parse_line(b'{"type":"set"}\n') == {"type": "set"}
+
+
+# --------------------------------------------------------------------- slots
+def test_slot_allocator_pinned_then_first_free():
+    a = SlotAllocator(["A", "B"], pinned={"dev2": "B"})
+    assert a.assign("dev1") == "A"
+    assert a.assign("dev2") == "B"
+    assert a.assign("dev3") is None  # full
+    assert a.assign("dev1") == "A"   # idempotent
+    assert a.release("dev1") == "A"
+    assert a.free_slots() == ["A"]
+    # pinned conflict: dev4 pinned to occupied B
+    a2 = SlotAllocator(["A", "B"], pinned={"dev4": "B", "dev5": "B"})
+    assert a2.assign("dev4") == "B"
+    assert a2.assign("dev5") is None
+
+
+# -------------------------------------------------------------------- serial
+def test_fake_controller_probe_and_pump():
+    fc = FakeController("enc-7", fw="2.0")
+    hello = probe_transport(fc)
+    assert hello["deviceId"] == "enc-7" and hello["fw"] == "2.0"
+
+    got = []
+    sess = SerialSession(fc, hello, ["A", "B"], got.append)
+    fc.send_garbage()
+    fc.turn("A", "rate", "0.25")
+    fc.turn("A", "volume", 17.6)
+    fc.turn("C", "rate", 1.0)  # unknown channel dropped
+    fc.turn("B", "tone", -5)
+    n = sess.pump()
+    assert n == 3
+    assert got[0] == {"type": "set", "channel": "A", "engine": "A", "key": "rate", "value": 0.25}
+    assert got[1]["value"] == 18  # int-normalized volume
+    assert got[2] == {"type": "set", "channel": "B", "engine": "B", "key": "tone", "value": -5}
+    assert sess.counters == {"rate": 1, "volume": 1, "tone": 1}
+    assert sess.liveness.online("A") and not sess.liveness.online("B")
+
+
+def test_encoder_liveness_timeout():
+    lv = EncoderLiveness(["A"], timeout_sec=10.0)
+    lv.saw_rate("A", now=100.0)
+    assert lv.online("A", now=105.0)
+    assert not lv.online("A", now=111.0)
+    ages = lv.ages_ms(now=101.0)
+    assert ages["A"] == pytest.approx(1000.0)
+
+
+def test_detached_transport_raises():
+    fc = FakeController("enc-9")
+    hello = probe_transport(fc)
+    sess = SerialSession(fc, hello, ["A"], lambda m: None)
+    fc.close()
+    with pytest.raises(OSError):
+        sess.pump()
+
+
+# ---------------------------------------------------------------------- pool
+def _pool(capacity=2):
+    cfg = StretchConfig(channels=2, block=512, interval=128)
+    return StreamPool(capacity=capacity, sample_rate=SR, config=cfg,
+                      max_track_sec=2.0, names=["A", "B"][:capacity])
+
+
+def test_pool_apply_set_clamps_and_routes():
+    pool = _pool()
+    assert pool.apply_set("A", "rate", 99.0)
+    seg = pool.slots[0].timemap.segments[-1]
+    assert seg.rate == 2.0  # clamped to reference UI max
+    assert pool.apply_set("A", "semitones", -100)
+    assert pool.slots[0].timemap.segments[-1].semitones == -48.0
+    assert pool.apply_set("A", "volumePercent", 250)
+    assert pool.slots[0].volume == 1.0
+    assert pool.apply_set("A", "pan", -7)
+    assert pool.slots[0].pan == -1.0
+    assert not pool.apply_set("Z", "rate", 1.0)   # unknown slot
+    assert not pool.apply_set("A", "bogus", 1.0)  # unknown key
+
+
+def test_pool_step_renders_and_mixes():
+    pool = _pool()
+    x = tone(440.0, int(SR), SR)
+    pool.load_track("A", [x, x])
+    pool.start("A", when=0.0, offset=0.0, rate=1.0)
+    pool.apply_set("A", "pan", -1.0, lookahead=0.0)
+    pool.slots[0].volume = 0.5
+    # B stays silent (inactive, no track)
+    outs = []
+    for _ in range(40):
+        master, streams = pool.step()
+        outs.append(np.asarray(master))
+    master = np.concatenate(outs, axis=1)
+    assert master.shape[0] == 2
+    # voice A panned hard left: left channel carries signal, right ~0
+    tail = master[:, -2000:]
+    assert np.sqrt((tail[0] ** 2).mean()) > 0.01
+    assert np.sqrt((tail[1] ** 2).mean()) < 1e-6
+    _, streams = pool.step()
+    assert np.asarray(streams).shape[0] == 2
+    assert np.abs(np.asarray(streams)[1]).max() == 0.0  # voice B silent
+
+
+def test_pool_input_time_tracks_rate():
+    pool = _pool()
+    pool.load_track("A", [tone(220.0, int(SR), SR)])
+    pool.start("A", when=0.0, offset=0.0, rate=0.5)
+    for _ in range(20):
+        pool.step()
+    t = pool.input_time("A")
+    assert t == pytest.approx(pool.output_time * 0.5, abs=0.02)
+
+
+# ------------------------------------------------------------- ws end-to-end
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_ws_server_end_to_end():
+    import websockets
+
+    async def scenario():
+        port = _free_port()
+        pool = _pool()
+        pool.load_track("A", [tone(440.0, int(SR), SR)])
+        server = ControlServer(pool=pool, engine_slots=["A", "B"],
+                               ws_host="127.0.0.1", ws_port=port)
+        fc = FakeController("enc-e2e")
+        server.add_transport(fc)
+        task = asyncio.create_task(server.run())
+        await asyncio.sleep(0.2)
+        try:
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                # on-connect beacons
+                beacons = [json.loads(await asyncio.wait_for(ws.recv(), 2)) for _ in range(3)]
+                types = {b["type"] for b in beacons}
+                assert types == {"serverVersion", "machineStatus", "controllerStatus"}
+                await ws.send(json.dumps({"type": "hello", "engineSlots": ["A"]}))
+
+                # hardware encoder turn -> broadcast + pool schedule
+                fc.turn("A", "rate", 0.125)
+                msg = None
+                for _ in range(50):
+                    m = json.loads(await asyncio.wait_for(ws.recv(), 2))
+                    if m["type"] == "set":
+                        msg = m
+                        break
+                assert msg == {"type": "set", "channel": "A", "engine": "A",
+                               "key": "rate", "value": 0.125}
+                assert pool.slots[0].timemap.segments[-1].rate == 0.125
+
+                # ws-originated set drives the pool too
+                await ws.send(json.dumps({"type": "set", "channel": "A",
+                                          "key": "tone", "value": -7}))
+                for _ in range(50):
+                    m = json.loads(await asyncio.wait_for(ws.recv(), 2))
+                    if m["type"] == "set" and m["key"] == "tone":
+                        break
+                assert pool.slots[0].timemap.segments[-1].semitones == -7.0
+
+                # controllerStatus reflects the attached fake controller
+                st = server.controller_status()
+                assert st["connected"] is True
+                assert st["deviceId"] == "enc-e2e"
+                assert st["encoders"]["channels"]["A"]["online"] is True
+        finally:
+            server.stop()
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
+
+    asyncio.run(scenario())
