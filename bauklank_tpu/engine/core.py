@@ -109,10 +109,48 @@ def process_chunk(
 
     Returns ``(new_state, out)`` with ``out`` float32 [C, H*interval].
     """
-    block, interval, bins = config.block, config.interval, config.bins
-    wa, ws, band_f = _window_consts(block, interval)
+    block, interval = config.block, config.interval
+    _, ws, _ = _window_consts(block, interval)
     h = frame_ends.shape[0]
-    c = config.channels
+
+    v, cur_m, gain = hop_factors(config, audio, frame_ends, params, state.prev_cur)
+    rot_seq = state.rot[None, :] * jax.lax.associative_scan(jnp.multiply, v, axis=0)
+    out_spec = rot_seq[None] * cur_m
+    if gain is not None:
+        out_spec = out_spec * gain
+
+    # --- synthesis + overlap-add ---------------------------------------------
+    out_frames = mdft.imdft(out_spec, block) * ws  # [C, H, B]
+    ola = framing.overlap_add(out_frames, interval, h * interval + block)
+    total = ola.at[:, :block].add(state.ola_tail)
+    emit = total[:, : h * interval] * params.active
+    new_tail = total[:, h * interval : h * interval + block]
+
+    new_state = StretchState(
+        rot=pitchmap.unit(rot_seq[-1]),
+        prev_cur=cur_m[:, -1],
+        ola_tail=new_tail,
+    )
+    return new_state, emit
+
+
+def hop_factors(
+    config: StretchConfig,
+    audio: jnp.ndarray,
+    frame_ends: jnp.ndarray,
+    params: StretchParams,
+    prev_cur: jnp.ndarray,
+):
+    """Per-hop spectral quantities: rotation factors ``v`` [H, bins], mapped
+    spectra ``cur_m`` [C, H, bins], and formant ``gain`` (or None).
+
+    Factored out of :func:`process_chunk` so hop-sharded multi-chip renders
+    (bauklank_tpu.parallel.seqpar) can compute local factors and compose the
+    global prefix product with collectives.
+    """
+    block, interval = config.block, config.interval
+    wa, _, band_f = _window_consts(block, interval)
+    h = frame_ends.shape[0]
 
     # --- batched analysis: cur frames and prev (one interval earlier) ------
     starts_cur = frame_ends.astype(jnp.int32) - block
@@ -127,7 +165,7 @@ def process_chunk(
     specs_m = pitchmap.gather_fractional(specs, pos)  # [C, 2H, bins]
     cur_m, prev_m = specs_m[:, :h], specs_m[:, h:]
 
-    # --- per-hop rotation factors + parallel prefix product -----------------
+    # --- per-hop rotation factors --------------------------------------------
     # Output phase rule (deviation scaling): each output band's phase must
     # advance per hop by
     #     2*pi*f_out_center*I  +  g * dev_h
@@ -147,7 +185,7 @@ def process_chunk(
     #     b_h = exp(i*(2 pi f_out I + g * dev_h))     (impose desired advance)
     # — every factor is computable from input analyses alone, so the whole
     # chunk is still one associative_scan (parallel prefix) over hops.
-    prev_hop_cur = jnp.concatenate([state.prev_cur[:, None], cur_m[:, : h - 1]], axis=1)
+    prev_hop_cur = jnp.concatenate([prev_cur[:, None], cur_m[:, : h - 1]], axis=1)
     f_in = band_f - dfreq  # [bins] source frequency per output band
     grad = jnp.where(band_f <= limit * params.transpose_factor, params.transpose_factor, 1.0)
     two_pi_i = jnp.float32(2.0 * np.pi * interval)
@@ -161,11 +199,8 @@ def process_chunk(
     # keep the current rotation so the output phase restarts from the input
     # phase.  (The reference engine behaves the same way after _reset.)
     v = jnp.where(jnp.abs(corr_a) > 1e-12, v, jnp.complex64(1.0))
-    rot_seq = state.rot[None, :] * jax.lax.associative_scan(jnp.multiply, v, axis=0)
 
-    out_spec = rot_seq[None] * cur_m  # [C, H, bins]
-
-    # --- formant envelope path ----------------------------------------------
+    gain = None
     if config.formants:
         power = jnp.square(jnp.abs(cur))  # [C, H, bins] (input envelope)
         psum = jnp.sum(power, axis=0)     # [H, bins]
@@ -177,21 +212,7 @@ def process_chunk(
             env, band_f, pos, params.formant_factor, params.formant_compensation,
             params.transpose_factor, limit, block,
         )
-        out_spec = out_spec * gain
-
-    # --- synthesis + overlap-add ---------------------------------------------
-    out_frames = mdft.imdft(out_spec, block) * ws  # [C, H, B]
-    ola = framing.overlap_add(out_frames, interval, h * interval + block)
-    total = ola.at[:, :block].add(state.ola_tail)
-    emit = total[:, : h * interval] * params.active
-    new_tail = total[:, h * interval : h * interval + block]
-
-    new_state = StretchState(
-        rot=pitchmap.unit(rot_seq[-1]),
-        prev_cur=cur_m[:, -1],
-        ola_tail=new_tail,
-    )
-    return new_state, emit
+    return v, cur_m, gain
 
 
 def flush(config: StretchConfig, state: StretchState):

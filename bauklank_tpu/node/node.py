@@ -225,6 +225,49 @@ class StretchNode:
             self._since_update = 0.0
             self._update_cb(self.input_time)
 
+    # ------------------------------------------------------------- live mode
+    def process(self, input_chunk) -> np.ndarray:
+        """Live-input mode: feed a [C, n] (or [n]) chunk, get n stretched
+        output samples (reference coupled path, _process(N, N) —
+        app/SignalsmithStretch.mjs:870-882).  Output lags by about one block;
+        arbitrary chunk sizes are FIFO-buffered around whole hops."""
+        from bauklank_tpu.engine.live import init_live_state, process_live
+
+        x = np.asarray(input_chunk, np.float32)
+        if x.ndim == 1:
+            x = np.broadcast_to(x, (self.channels, x.shape[0]))
+        n = x.shape[1]
+        if not hasattr(self, "_live"):
+            self._live = init_live_state(self.config, 1)
+            self._live_in = np.zeros((self.channels, 0), np.float32)
+            self._live_out = np.zeros((self.channels, 0), np.float32)
+        self._live_in = np.concatenate([self._live_in, x], axis=1)
+        interval = self.config.interval
+        seg = self.timemap.current()
+        params = StretchParams.make(
+            active=1.0,
+            rate=1.0,
+            semitones=seg.semitones,
+            tonality_hz=seg.tonality_hz,
+            formant_semitones=seg.formant_semitones,
+            formant_compensation=1.0 if seg.formant_compensation else 0.0,
+            formant_base_hz=seg.formant_base_hz,
+            sample_rate=self.sample_rate,
+        )
+        while self._live_in.shape[1] >= interval:
+            chunk, self._live_in = self._live_in[:, :interval], self._live_in[:, interval:]
+            self._live, out = process_live(self.config, self._live, jnp.asarray(chunk), params)
+            self._live_out = np.concatenate([self._live_out, np.asarray(out)], axis=1)
+        if self._live_out.shape[1] >= n:
+            out, self._live_out = self._live_out[:, :n], self._live_out[:, n:]
+        else:  # warm-up: pad with leading zeros
+            pad = n - self._live_out.shape[1]
+            out = np.concatenate(
+                [np.zeros((self.channels, pad), np.float32), self._live_out], axis=1
+            )
+            self._live_out = np.zeros((self.channels, 0), np.float32)
+        return out
+
     def flush(self) -> np.ndarray:
         """Emit the remaining overlap-add tail (reference `_flush`)."""
         from bauklank_tpu.engine.core import flush as engine_flush
