@@ -109,6 +109,9 @@ class StreamPool:
         self._audio_dev: jnp.ndarray | None = None
         self.states = init_batched_state(self.config, capacity)
         self.out_pos = 0  # output samples stepped so far
+        from bauklank_tpu.utils.metrics import StepTimer
+
+        self.timer = StepTimer(sample_rate)
 
     # ------------------------------------------------------------- loading
     def load_track(self, slot: str, channel_arrays) -> int:
@@ -183,13 +186,16 @@ class StreamPool:
         return self.slots[self._by_name[slot]].timemap.input_time_at(self.output_time)
 
     # --------------------------------------------------------------- step
-    def step(self):
+    def step(self, fetch: bool = False):
         """Render the next chunk for every voice.
 
-        Returns (master [2, n], streams [S, C, n]) as device arrays;
-        n = hops_per_step * interval.
+        Returns (master [2, n], streams [S, C, n]); n = hops_per_step *
+        interval.  With ``fetch=True`` the master mix is materialized to
+        numpy (fencing the device work — honest latency accounting for the
+        serving loop; see utils.metrics).
         """
         cfg = self.config
+        self.timer.start()
         sr = self.sample_rate
         h = self.hops_per_step
         ends = np.zeros((self.capacity, h), np.int64)
@@ -231,4 +237,11 @@ class StreamPool:
             jnp.asarray(pans),
         )
         self.out_pos += h * cfg.interval
+        if fetch:
+            master = np.asarray(master)
+        self.timer.tick(self.capacity * h * cfg.interval)
         return master, streams
+
+    def metrics(self) -> dict:
+        """Rolling serving metrics: step p50/p99 latency + aggregate RTF."""
+        return self.timer.snapshot()

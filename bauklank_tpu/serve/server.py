@@ -217,9 +217,11 @@ class ControlServer:
     async def heartbeat_task(self) -> None:
         while not self._stop.is_set():
             await asyncio.sleep(HEARTBEAT_SEC)
+            pool_stats = self.pool.metrics() if self.pool is not None else {}
             log.info(
-                "💓 heartbeat: clients=%d controller=%s msgs=%d",
+                "💓 heartbeat: clients=%d controller=%s msgs=%d pool=%s",
                 len(self.clients), self.session is not None, self._msg_count,
+                pool_stats,
             )
 
     # ----------------------------------------------------------------- run
