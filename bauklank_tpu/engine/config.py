@@ -43,8 +43,13 @@ class StretchConfig:
     formants: bool = True
 
     def __post_init__(self):
-        if self.block % 2:
-            object.__setattr__(self, "block", self.block + 1)
+        from bauklank_tpu.ops.fftsize import fast_fft_size
+
+        # Round the block up to an FFT-fast size — the reference's DSP core
+        # likewise picks a fast FFT size at/above the requested block.  On
+        # this hardware an unlucky composite size costs >4x per FFT
+        # (see bauklank_tpu/ops/fftsize.py for measurements).
+        object.__setattr__(self, "block", fast_fft_size(self.block))
         if self.interval < 1:
             object.__setattr__(self, "interval", 1)
         if self.interval > self.block:

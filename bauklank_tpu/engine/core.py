@@ -84,6 +84,24 @@ def _window_consts(block: int, interval: int):
     return wa, ws, freqs
 
 
+def _center_phase(bins: int) -> jnp.ndarray:
+    """Zero-phase (frame-center) referencing rotation, e^{i pi (k+1/2)}.
+
+    Analysis spectra are rotated so the window's spectral lobe is phase-flat
+    (referenced to the frame center instead of the frame start).  Without
+    this, moving a band's content to a different output band under pitch
+    shift keeps the *input-space* linear phase, adjacent output bands land
+    up to ~90 degrees misaligned, and the overlap-add partially cancels —
+    measured as a several-dB-down shifted tone with strong frame-rate
+    sidebands.  With center referencing the lobe is (near-)real and band
+    relocation preserves coherence; synthesis applies the conjugate.
+    Built in-graph from real constants (complex h2d is unavailable on some
+    TPU attachment paths).
+    """
+    sign = np.where(np.arange(bins) % 2 == 0, 1.0, -1.0).astype(np.float32)
+    return jax.lax.complex(jnp.zeros((bins,), jnp.float32), jnp.asarray(sign))
+
+
 def process_chunk(
     config: StretchConfig,
     state: StretchState,
@@ -120,6 +138,7 @@ def process_chunk(
         out_spec = out_spec * gain
 
     # --- synthesis + overlap-add ---------------------------------------------
+    out_spec = out_spec * jnp.conj(_center_phase(config.bins))
     out_frames = mdft.imdft(out_spec, block) * ws  # [C, H, B]
     ola = framing.overlap_add(out_frames, interval, h * interval + block)
     total = ola.at[:, :block].add(state.ola_tail)
@@ -156,7 +175,7 @@ def hop_factors(
     starts_cur = frame_ends.astype(jnp.int32) - block
     starts = jnp.concatenate([starts_cur, starts_cur - interval])  # [2H]
     frames = framing.gather_frames(audio, starts, block)  # [C, 2H, B]
-    specs = mdft.mdft(frames * wa)  # [C, 2H, bins]
+    specs = mdft.mdft(frames * wa) * _center_phase(block // 2)  # [C, 2H, bins]
     cur = specs[:, :h]
 
     # --- pitch-mapped band gather (one MXU einsum for cur+prev) -------------

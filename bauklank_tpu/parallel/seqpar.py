@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bauklank_tpu.engine.config import StretchConfig
-from bauklank_tpu.engine.core import _window_consts, hop_factors
+from bauklank_tpu.engine.core import _center_phase, _window_consts, hop_factors
 from bauklank_tpu.engine.params import StretchParams
 from bauklank_tpu.ops import framing, mdft, pitchmap
 
@@ -75,6 +75,7 @@ def _sharded_render(config: StretchConfig, mesh: Mesh, n_seq: int):
         out_spec = rot_seq[:, None] * cur_m
         if gain is not None:
             out_spec = out_spec * gain
+        out_spec = out_spec * jnp.conj(_center_phase(config.bins))
         frames = mdft.imdft(out_spec, block) * ws  # [S, C, H, B]
         h_local = frames.shape[2]
         ola = framing.overlap_add(frames, interval, h_local * interval + block)

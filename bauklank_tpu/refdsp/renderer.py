@@ -139,11 +139,14 @@ def render_offline(
     rot = np.ones(bins, np.complex128)
     prev_cur_m = np.zeros((c, bins), np.complex128)
 
+    # zero-phase (frame-center) referencing — see engine.core._center_phase
+    cphase = 1j * np.where(np.arange(bins) % 2 == 0, 1.0, -1.0)
+
     for h in range(n_hops):
         center = in_start + (h * i + b / 2.0) * rate
         e = int(np.round(center)) + b // 2  # np.round: match engine's frame_ends_for
-        cur = _mdft(_frame(audio, e - b, b) * wa)
-        prev = _mdft(_frame(audio, e - i - b, b) * wa)
+        cur = _mdft(_frame(audio, e - b, b) * wa) * cphase
+        prev = _mdft(_frame(audio, e - i - b, b) * wa) * cphase
         cur_m = _gather_lin(cur, pos, clamp=False)
         prev_m = _gather_lin(prev, pos, clamp=False)
 
@@ -174,7 +177,7 @@ def render_offline(
             gain = np.sqrt((env_tgt + 1e-9) / (env_nat + 1e-9))
             spec_out = spec_out * np.clip(gain, 0.0, 16.0)
 
-        frame = _imdft(spec_out, b) * ws
+        frame = _imdft(spec_out * np.conj(cphase), b) * ws
         out[:, h * i : h * i + b] += frame
         prev_cur_m = cur_m
 

@@ -76,6 +76,30 @@ def test_tonality_limit_offsets_highs():
     assert abs(got - want) / want < 0.02, (got, want)
 
 
+def test_pitch_shift_band_coherence():
+    """Pitch-shifted tones must not collapse into frame-rate sidebands
+    (regression: band relocation without zero-phase window referencing left
+    adjacent bands ~90 degrees misaligned — shifted tone several dB down
+    with sidebands at +-sr/interval within 3 dB of the carrier)."""
+    f = 440.0
+    x = tone(f, int(2 * SR), SR)
+    cfg = StretchConfig(channels=1, block=1792, interval=441, formants=False)
+    params = StretchParams.make(rate=0.5, semitones=12, tonality_hz=8000.0, sample_rate=SR)
+    y = stretch_offline(_mono(x), 0.5, cfg, params=params, n_out=int(SR))
+    seg = y[0, 6000 : 6000 + 32768]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    freqs = np.fft.rfftfreq(len(seg), 1 / SR)
+
+    def mag_at(fq):
+        i = int(np.argmin(np.abs(freqs - fq)))
+        return spec[max(0, i - 3) : i + 4].max()
+
+    main = mag_at(880.0)
+    fr = SR / cfg.interval
+    sb = max(mag_at(880.0 - fr), mag_at(880.0 + fr))
+    assert 20 * np.log10(sb / main) < -15.0, (main, sb)
+
+
 def test_stretch_output_energy_stable():
     rng = np.random.default_rng(3)
     x = (rng.standard_normal(int(2 * SR)) * 0.25).astype(np.float32)
@@ -134,9 +158,10 @@ def test_flush_and_latency_surface():
     from bauklank_tpu.engine.core import flush
 
     cfg = StretchConfig(channels=1, block=1764, interval=441, split_computation=True)
-    assert cfg.input_latency == 882
-    assert cfg.output_latency == 882 + 441
-    assert cfg.seek_len == 1764 + 441
+    assert cfg.block == 1792  # rounded up to the FFT-fast grid
+    assert cfg.input_latency == 896
+    assert cfg.output_latency == 896 + 441
+    assert cfg.seek_len == 1792 + 441
     st = init_state(cfg)
     st2, tail = flush(cfg, st)
     assert tail.shape == (1, cfg.block)

@@ -21,7 +21,8 @@ def test_kiosk_presets_match_reference_defaults():
     assert KIOSK_ENGINE_A.pan == -1.0 and KIOSK_ENGINE_B.pan == +1.0
     assert KIOSK_ENGINE_A.block_ms == 200.0 and KIOSK_ENGINE_A.overlap == 1.0
     cfg = KIOSK_ENGINE_A.config(channels=2, sample_rate=44100.0)
-    assert cfg.block == 8820 and cfg.interval == 8820
+    # 200ms block rounds up to the FFT-fast grid; interval stays overlap-1
+    assert cfg.block == 9216 and cfg.interval == 8820
     # reference dev app: app/app.mjs:78-98
     assert DEV_SINGLE.volume == 0.35
     assert DEV_SINGLE.block_ms == 60.0 and DEV_SINGLE.overlap == 1.5

@@ -63,11 +63,11 @@ def test_node_schedule_rate_change_moves_playhead_rate():
 def test_node_configure_overlap_and_latency():
     node = _node()
     node.configure(blockMs=100, overlap=2.0, splitComputation=True)
-    assert node.block_samples == 4410
+    assert node.block_samples == 4608  # 4410 rounded to the FFT-fast grid
     assert node.interval_samples == 2205
-    assert node.latency() == pytest.approx((2205 + 2205 + 2205) / SR)
+    assert node.latency() == pytest.approx((2304 + 2304 + 2205) / SR)
     node.configure(preset="cheaper")
-    assert node.block_samples == round(SR * 0.1)
+    assert node.block_samples == 4608  # round(SR*0.1) -> fast grid
     assert node.interval_samples == round(SR * 0.04)
 
 
