@@ -37,6 +37,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: first-touch on the tunneled TPU costs
+    # minutes; cache hits cut repeat runs dramatically (no-op if the
+    # backend doesn't support it).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/bauklank_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from bauklank_tpu.engine.batched import batched_step_jit, init_batched_state
     from bauklank_tpu.engine.config import preset_default
     from bauklank_tpu.engine.offline import frame_ends_for
