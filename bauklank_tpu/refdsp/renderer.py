@@ -142,6 +142,12 @@ def render_offline(
     # zero-phase (frame-center) referencing — see engine.core._center_phase
     cphase = 1j * np.where(np.arange(bins) % 2 == 0, 1.0, -1.0)
 
+    # Gaussian model of the analysis-window main lobe (engine.core._lobe_alpha)
+    nn = np.arange(b)
+    g0 = np.abs(np.sum(wa))
+    g1 = np.abs(np.sum(wa * np.exp(-2j * np.pi * (1.0 / b) * (nn - (b - 1) / 2.0))))
+    alpha = -np.log(max(g1 / g0, 1e-6))
+
     for h in range(n_hops):
         center = in_start + (h * i + b / 2.0) * rate
         e = int(np.round(center)) + b // 2  # np.round: match engine's frame_ends_for
@@ -157,7 +163,10 @@ def render_offline(
         v = np.where(np.abs(corr_a) > 1e-12, v, 1.0)
         rot = _unit(rot * v)
 
-        spec_out = rot[None, :] * cur_m
+        # lobe-consistent magnitude correction (engine.core.hop_factors)
+        delta = dev * (b / (2.0 * np.pi * i))
+        lobe_gain = np.clip(np.exp(-alpha * (grad**2 - 1.0) * delta**2), 0.05, 4.0)
+        spec_out = rot[None, :] * cur_m * lobe_gain[None, :]
 
         if config.formants:
             power = np.abs(cur) ** 2

@@ -97,7 +97,8 @@ def test_pitch_shift_band_coherence():
     main = mag_at(880.0)
     fr = SR / cfg.interval
     sb = max(mag_at(880.0 - fr), mag_at(880.0 + fr))
-    assert 20 * np.log10(sb / main) < -15.0, (main, sb)
+    # with the lobe-consistent magnitude correction this sits near -45 dB
+    assert 20 * np.log10(sb / main) < -35.0, (main, sb)
 
 
 def test_stretch_output_energy_stable():
