@@ -77,6 +77,6 @@ def stretch_offline(
     for ci in range(n_chunks):
         ends = frame_ends_for(config, ci * chunk_hops * i, chunk_hops, rate)
         state, out = _chunk_jit(config, state, audio, jnp.asarray(ends, jnp.int32), params)
-        pieces.append(np.asarray(out))
-    y = np.concatenate(pieces, axis=1)
-    return y[:, :n_out]
+        pieces.append(out)  # stays on device; one transfer at the end
+    y = np.asarray(jnp.concatenate(pieces, axis=1)[:, :n_out])
+    return y
