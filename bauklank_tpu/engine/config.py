@@ -41,6 +41,13 @@ class StretchConfig:
     interval: int = 2205
     split_computation: bool = True
     formants: bool = True
+    # Per-band phase re-anchoring on onsets: when a band's energy jumps by
+    # more than this many dB between the previous-interval analysis and the
+    # current one, its output phase restarts from the input phase (re-anchors
+    # attacks at extreme stretch; None disables — the default, matching the
+    # reference's continuous-phase behavior).  Implemented as a
+    # reset-semigroup associative scan, so hop parallelism is preserved.
+    transient_reset_db: float | None = None
 
     def __post_init__(self):
         from bauklank_tpu.ops.fftsize import fast_fft_size

@@ -143,8 +143,8 @@ def process_chunk(
     _, ws, _ = _window_consts(block, interval)
     h = frame_ends.shape[0]
 
-    v, cur_m, gain = hop_factors(config, audio, frame_ends, params, state.prev_cur)
-    rot_seq = state.rot[None, :] * jax.lax.associative_scan(jnp.multiply, v, axis=0)
+    v, cur_m, gain, reset = hop_factors(config, audio, frame_ends, params, state.prev_cur)
+    rot_seq = rotation_scan(state.rot, v, reset)
     out_spec = rot_seq[None] * cur_m
     if gain is not None:
         out_spec = out_spec * gain
@@ -256,7 +256,38 @@ def hop_factors(
             env, band_f, pos, params.formant_factor, params.formant_compensation,
             params.transpose_factor, limit, block,
         )
-    return v, cur_m, gain
+
+    # Transient detection: per-band onset = energy jump over one interval.
+    if config.transient_reset_db is not None:
+        thresh = jnp.float32(10.0 ** (config.transient_reset_db / 10.0))
+        e_cur = jnp.sum(jnp.square(jnp.abs(cur_m)), axis=0)    # [H, bins]
+        e_prev = jnp.sum(jnp.square(jnp.abs(prev_m)), axis=0)
+        reset = (e_cur > thresh * (e_prev + 1e-12)) & (e_cur > 1e-10)
+    else:
+        reset = jnp.zeros(v.shape, bool)
+    return v, cur_m, gain, reset
+
+
+def rotation_scan(rot0: jnp.ndarray, v: jnp.ndarray, reset: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative rotation with per-band resets, as one parallel prefix.
+
+    rot_h = 1 where reset_h else rot_{h-1} * v_h, seeded with ``rot0``.
+    The (flag, value) pairs form a "last reset wins" semigroup:
+        (ra, za) . (rb, zb) = (ra | rb, zb if rb else za * zb)
+    which stays associative, so transient re-anchoring costs nothing in hop
+    parallelism.
+    """
+    ones = jnp.ones_like(v[:1])
+    flags = jnp.concatenate([jnp.zeros((1,) + reset.shape[1:], bool), reset], axis=0)
+    vals = jnp.concatenate([rot0[None, :], jnp.where(reset, ones, v)], axis=0)
+
+    def comb(a, b):
+        ra, za = a
+        rb, zb = b
+        return jnp.logical_or(ra, rb), jnp.where(rb, zb, za * zb)
+
+    _, zs = jax.lax.associative_scan(comb, (flags, vals), axis=0)
+    return zs[1:]
 
 
 def flush(config: StretchConfig, state: StretchState):

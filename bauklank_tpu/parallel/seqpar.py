@@ -54,23 +54,41 @@ def _sharded_render(config: StretchConfig, mesh: Mesh, n_seq: int):
         zeros_prev = jnp.zeros(
             (audio.shape[0], config.channels, config.bins), jnp.complex64
         )
-        v, cur_m, gain = jax.vmap(
+        v, cur_m, gain, reset = jax.vmap(
             functools.partial(hop_factors, config)
         )(audio, ends, params, zeros_prev)
         # drop the overlap hop: its v is the reset factor (==1), its cur_m
         # seeded the prev-hop chain inside hop_factors
         v = v[:, 1:]
         cur_m = cur_m[:, :, 1:]
+        reset = reset[:, 1:]
         if gain is not None:
             gain = gain[:, :, 1:]
 
-        rot_local = jax.lax.associative_scan(jnp.multiply, v, axis=1)  # [S,H,bins]
-        totals = rot_local[:, -1]  # [S_l, bins]
-        all_tot = jax.lax.all_gather(totals, "seq")  # [D, S_l, bins]
+        # local prefix under the reset semigroup (see core.rotation_scan)
+        def comb(a, b):
+            ra, za = a
+            rb, zb = b
+            return jnp.logical_or(ra, rb), jnp.where(rb, zb, za * zb)
+
+        vals = jnp.where(reset, jnp.ones_like(v), v)
+        flags_l, z_l = jax.lax.associative_scan(comb, (reset, vals), axis=1)
+
+        # cross-device composition: fold the per-device totals in order
+        tot = (flags_l[:, -1], z_l[:, -1])  # [S_l, bins] each
+        all_f = jax.lax.all_gather(tot[0], "seq")  # [D, S_l, bins]
+        all_z = jax.lax.all_gather(tot[1], "seq")
         idx = jax.lax.axis_index("seq")
-        mask = (jnp.arange(n_seq)[:, None, None] < idx)
-        prefix = jnp.prod(jnp.where(mask, all_tot, 1.0 + 0.0j), axis=0)  # [S_l, bins]
-        rot_seq = pitchmap.unit(prefix)[:, None, :] * rot_local
+        pf = jnp.zeros_like(tot[0])
+        pz = jnp.ones_like(tot[1])
+        for k in range(n_seq):
+            take = (k < idx)
+            fk = jnp.where(take, all_f[k], False)
+            zk = jnp.where(take, all_z[k], 1.0 + 0.0j)
+            pf, pz = comb((pf, pz), (fk, zk))
+        rot_seq = jnp.where(
+            flags_l, z_l, pitchmap.unit(pz)[:, None, :] * z_l
+        )
 
         out_spec = rot_seq[:, None] * cur_m
         if gain is not None:

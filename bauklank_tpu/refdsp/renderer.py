@@ -162,6 +162,13 @@ def render_offline(
         v = _unit(corr_a) * np.exp(1j * (two_pi_i * f_out + grad * dev))
         v = np.where(np.abs(corr_a) > 1e-12, v, 1.0)
         rot = _unit(rot * v)
+        # transient phase re-anchoring (engine.core rotation_scan semantics)
+        if config.transient_reset_db is not None:
+            e_cur = np.sum(np.abs(cur_m) ** 2, axis=0)
+            e_prev = np.sum(np.abs(prev_m) ** 2, axis=0)
+            thresh = 10.0 ** (config.transient_reset_db / 10.0)
+            reset = (e_cur > thresh * (e_prev + 1e-12)) & (e_cur > 1e-10)
+            rot = np.where(reset, 1.0 + 0.0j, rot)
 
         # lobe-consistent magnitude correction (engine.core.hop_factors)
         delta = dev * (b / (2.0 * np.pi * i))

@@ -70,9 +70,17 @@ class ControlServer:
         transports: Iterable[Transport] | None = None,
         ws_host: str = "0.0.0.0",
         ws_port: int = 8765,  # reference: server-multi.py:80
+        audio_sink=None,
+        render_ahead_sec: float = 0.25,
     ) -> None:
         self.engine_slots = engine_slots or ["A"]
         self.pool = pool
+        # audio_sink(master [2, n] float32) is the DAC boundary — the role
+        # the HiFiBerry plays in the reference deployment.  When set (and a
+        # pool exists), render_loop_task paces pool steps to real time,
+        # staying render_ahead_sec ahead of the wall clock.
+        self.audio_sink = audio_sink
+        self.render_ahead_sec = render_ahead_sec
         self.ws_host = ws_host
         self.ws_port = ws_port
         self.clients: set = set()
@@ -214,6 +222,26 @@ class ControlServer:
             await self.broadcast(protocol.machine_status_msg())
             await asyncio.sleep(MACHINE_STATUS_SEC)
 
+    async def render_loop_task(self) -> None:
+        """Real-time paced rendering: keep the sink render_ahead_sec ahead.
+
+        The reference's real-time loop is the browser audio thread pulling
+        128-frame quanta; here the pool renders interval-sized chunks and
+        the loop sleeps whenever it is far enough ahead (BASELINE config 4's
+        serving cadence)."""
+        if self.pool is None or self.audio_sink is None:
+            return
+        sr = self.pool.sample_rate
+        t0 = time.monotonic()
+        while not self._stop.is_set():
+            ahead = self.pool.out_pos / sr - (time.monotonic() - t0)
+            if ahead >= self.render_ahead_sec:
+                await asyncio.sleep(min(0.05, ahead - self.render_ahead_sec + 1e-3))
+                continue
+            master, _ = self.pool.step(fetch=True)
+            self.audio_sink(master)
+            await asyncio.sleep(0)  # yield to control traffic
+
     async def heartbeat_task(self) -> None:
         while not self._stop.is_set():
             await asyncio.sleep(HEARTBEAT_SEC)
@@ -235,6 +263,7 @@ class ControlServer:
                 self.machine_status_task(),
                 self.encoder_status_task(),
                 self.heartbeat_task(),
+                self.render_loop_task(),
             )
 
     def stop(self) -> None:

@@ -136,6 +136,36 @@ def test_chunked_equals_single_dispatch():
     np.testing.assert_allclose(small, big, atol=2e-4)
 
 
+def test_transient_reset_machinery():
+    """Reset-semigroup scan: identity stays exact with aggressive resets, and
+    chunked processing equals one big dispatch."""
+    from bauklank_tpu.engine import init_state, process_chunk
+    from bauklank_tpu.engine.offline import frame_ends_for
+
+    rng = np.random.default_rng(9)
+    cfg = StretchConfig(channels=1, block=512, interval=128, formants=False,
+                        transient_reset_db=0.0)  # reset on any energy rise
+    x = rng.standard_normal(20000).astype(np.float32) * 0.3
+    # identity: resets force rot=1, which identity already has -> exact
+    y = stretch_offline(_mono(x), 1.0, cfg)
+    n = min(x.shape[0], y.shape[1]) - cfg.block
+    assert snr_db(x[cfg.block : n], y[0, cfg.block : n]) > 50
+
+    import jax
+    import jax.numpy as jnp
+
+    params = StretchParams.make(rate=0.7, semitones=5, sample_rate=SR)
+    ends = frame_ends_for(cfg, 0, 48, 0.7)
+    st = init_state(cfg)
+    _, big = process_chunk(cfg, st, jnp.asarray(_mono(x)), jnp.asarray(ends, jnp.int32), params)
+    st = init_state(cfg)
+    outs = []
+    for i in range(0, 48, 12):
+        st, o = process_chunk(cfg, st, jnp.asarray(_mono(x)), jnp.asarray(ends[i : i + 12], jnp.int32), params)
+        outs.append(np.asarray(o))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), np.asarray(big), atol=2e-4)
+
+
 def test_inactive_stream_is_silent():
     x = tone(440.0, int(SR), SR)
     params = StretchParams.make(active=0.0, rate=1.0)

@@ -164,6 +164,42 @@ def test_pool_input_time_tracks_rate():
     assert t == pytest.approx(pool.output_time * 0.5, abs=0.02)
 
 
+def test_render_loop_paces_to_realtime():
+    """The server's render loop keeps the sink ~render_ahead ahead of the
+    wall clock (BASELINE config 4 serving cadence)."""
+    from bauklank_tpu.runtime import RingBuffer
+
+    async def scenario():
+        pool = _pool()
+        pool.load_track("A", [tone(440.0, int(SR), SR)] * 2)
+        pool.start("A", when=0.0, offset=0.0, rate=1.0)
+        ring = RingBuffer(1 << 20)
+        got = []
+
+        def sink(master):
+            got.append(np.asarray(master))
+            ring.push(np.asarray(master)[0])
+
+        server = ControlServer(pool=pool, engine_slots=["A", "B"],
+                               audio_sink=sink, render_ahead_sec=0.2)
+        task = asyncio.create_task(server.render_loop_task())
+        pool.step(fetch=True)  # compile outside the timed window
+        await asyncio.sleep(1.0)
+        server.stop()
+        task.cancel()
+        try:
+            await task
+        except (asyncio.CancelledError, Exception):
+            pass
+        rendered = sum(m.shape[1] for m in got) / SR
+        # must make progress but never run far ahead of the wall clock
+        # (lower bound generous: CPU render throughput under CI load)
+        assert 0.3 < rendered < 2.5, rendered
+        assert len(ring) > 0
+
+    asyncio.run(scenario())
+
+
 # ------------------------------------------------------------- ws end-to-end
 def _free_port() -> int:
     s = socket.socket()
