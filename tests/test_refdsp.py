@@ -19,6 +19,18 @@ def _material(n=30000):
     return x[None, :]
 
 
+def test_engine_matches_scalar_renderer_overlap1():
+    """The deployed kiosk runs overlap 1 (interval == block); the engine and
+    the scalar renderer must agree there too."""
+    cfg = StretchConfig(channels=1, block=1024, interval=1024, formants=False)
+    x = _material()
+    got = stretch_offline(x, 0.6, cfg, n_out=16384,
+                          params=StretchParams.make(rate=0.6, sample_rate=SR))
+    want = render_offline(x.astype(np.float64), 0.6, cfg, 16384)
+    s = snr_db(want[:, cfg.block :], got[:, cfg.block :])
+    assert s > 45.0, s
+
+
 @pytest.mark.parametrize(
     "rate,semitones,formants",
     [
