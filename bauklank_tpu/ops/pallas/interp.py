@@ -55,7 +55,12 @@ def _kernel(bins: int, window: int, starts_ref, pos_ref, x_hbm, out_ref, xwin, s
     ).astype(jnp.float32) * (w * valid1)[None, :]
 
     dma.wait()
-    out_ref[0] = jnp.dot(xwin[:], m, preferred_element_type=jnp.float32)
+    # HIGHEST: default MXU precision is single-pass bf16 (measured 1e-3
+    # level interpolation error); audio fidelity needs full f32.
+    out_ref[0] = jnp.dot(
+        xwin[:], m, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "effective_tonality_limit",
@@ -112,6 +113,22 @@ def _interp_real(x: jnp.ndarray, pos: jnp.ndarray, oob: str, tile: int, window: 
         return jnp.einsum(
             "...i,io->...o", x, m.astype(x.dtype), precision=jax.lax.Precision.HIGHEST
         )
+
+    if (
+        jax.default_backend() == "tpu"
+        and bo % tile == 0
+        and bins % tile == 0
+        and window < bins
+    ):
+        # TPU fast path: the fused Pallas kernel (1.5x the XLA pipeline).
+        # oob was already realized above: 'clamp' clamped pos into range, and
+        # for 'zero' the kernel masks out-of-range taps identically.
+        from bauklank_tpu.ops.pallas.interp import banded_interp
+
+        lead = x.shape[:-1]
+        xp = x.reshape((1, max(1, int(np.prod(lead))), bins))
+        out = banded_interp(xp, pos[None, :], window, False)[0]
+        return out.reshape(lead + (bo,)).astype(x.dtype)
 
     pad_out = (-bo) % tile
     pos_p = jnp.pad(pos, (0, pad_out))
