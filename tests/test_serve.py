@@ -164,6 +164,127 @@ def test_pool_input_time_tracks_rate():
     assert t == pytest.approx(pool.output_time * 0.5, abs=0.02)
 
 
+def test_server_survives_malformed_frames():
+    """Garbage, wrong-typed, unknown-slot, and unknown-key frames must not
+    kill the connection or the server (the reference only logs inbound
+    frames; we additionally route valid sets)."""
+    import websockets
+
+    async def scenario():
+        port = _free_port()
+        server = ControlServer(pool=_pool(), engine_slots=["A"],
+                               ws_host="127.0.0.1", ws_port=port)
+        task = asyncio.create_task(server.run())
+        await asyncio.sleep(0.2)
+        try:
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                for _ in range(3):
+                    await asyncio.wait_for(ws.recv(), 2)
+                for frame in (
+                    "not json", "{broken", "[1,2,3]", '{"type": 42}',
+                    '{"type":"set"}',
+                    '{"type":"set","channel":"Z","key":"rate","value":1}',
+                    '{"type":"set","channel":"A","key":7,"value":1}',
+                    '{"type":"set","channel":"A","key":"bogus","value":1}',
+                ):
+                    await ws.send(frame)
+                # still alive: a valid set round-trips
+                await ws.send(json.dumps({"type": "set", "channel": "A",
+                                          "key": "rate", "value": 0.25}))
+                while True:
+                    m = json.loads(await asyncio.wait_for(ws.recv(), 3))
+                    # unknown-but-well-formed keys are forwarded (reference
+                    # semantics: the server forwards, receivers ignore)
+                    if m.get("type") == "set" and m.get("key") == "rate":
+                        assert m["value"] == 0.25
+                        break
+        finally:
+            server.stop()
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
+
+    asyncio.run(scenario())
+
+
+def test_control_client_end_to_end_and_reconnect():
+    """ControlClient tracks beacons, dispatches sets, and survives a server
+    restart (reconnect loop like the reference frontend)."""
+    from bauklank_tpu.serve.client import ControlClient
+
+    async def scenario():
+        port = _free_port()
+        pool = _pool()
+        server = ControlServer(pool=pool, engine_slots=["A", "B"],
+                               ws_host="127.0.0.1", ws_port=port)
+        fc = FakeController("enc-cli")
+        server.add_transport(fc)
+        stask = asyncio.create_task(server.run())
+        await asyncio.sleep(0.2)
+
+        sets = []
+        client = ControlClient(f"ws://127.0.0.1:{port}", ["A", "B"],
+                               on_set=sets.append, reconnect="backoff")
+        ctask = asyncio.create_task(client.run())
+        for _ in range(50):
+            if client.server_version and client.controller_status:
+                break
+            await asyncio.sleep(0.05)
+        assert client.server_version
+        assert client.machine_status["type"] == "machineStatus"
+
+        fc.turn("A", "rate", 0.5)
+        for _ in range(50):
+            if sets:
+                break
+            await asyncio.sleep(0.05)
+        assert sets[0]["key"] == "rate" and sets[0]["value"] == 0.5
+
+        # client-originated control reaches the pool
+        await client.send_set("B", "tone", 3)
+        for _ in range(50):
+            if pool.slots[1].timemap.segments[-1].semitones == 3.0:
+                break
+            await asyncio.sleep(0.05)
+        assert pool.slots[1].timemap.segments[-1].semitones == 3.0
+
+        # kill the server; client must drop to disconnected and keep trying
+        server.stop()
+        stask.cancel()
+        try:
+            await stask
+        except (asyncio.CancelledError, Exception):
+            pass
+        for _ in range(100):
+            if not client.connected:
+                break
+            await asyncio.sleep(0.05)
+        assert not client.connected
+
+        # bring a fresh server up on the same port: client reconnects
+        server2 = ControlServer(pool=pool, engine_slots=["A", "B"],
+                                ws_host="127.0.0.1", ws_port=port)
+        stask2 = asyncio.create_task(server2.run())
+        for _ in range(200):
+            if client.connected:
+                break
+            await asyncio.sleep(0.05)
+        assert client.connected
+
+        client.stop()
+        server2.stop()
+        for task in (ctask, stask2):
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
+
+    asyncio.run(scenario())
+
+
 def test_render_loop_paces_to_realtime():
     """The server's render loop keeps the sink ~render_ahead ahead of the
     wall clock (BASELINE config 4 serving cadence)."""
