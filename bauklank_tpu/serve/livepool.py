@@ -1,0 +1,103 @@
+"""LivePool: batched live-input processing for many streams.
+
+The reference supports live input per engine — copy each render quantum into
+the input planes and process coupled (app/SignalsmithStretch.mjs:870-882) —
+but one WASM instance per voice caps it at a couple of streams.  Here N live
+streams (e.g. one per connected client) share one batched device step: each
+stream owns a host-side input FIFO; every step consumes exactly one interval
+per stream (zero-filled on underrun, like the reference's silent-input
+branch :861-869) and produces one interval of pitch/formant-processed
+output per stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bauklank_tpu.engine.config import StretchConfig
+from bauklank_tpu.engine.live import LiveState, init_live_state, process_live
+from bauklank_tpu.engine.params import StretchParams
+from bauklank_tpu.schedule.timemap import TimeMap
+
+__all__ = ["LivePool"]
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _live_step(config, states, chunks, params):
+    fn = functools.partial(process_live, config)
+    return jax.vmap(fn)(states, chunks, params)
+
+
+class LivePool:
+    """N live voices, one dispatch per interval."""
+
+    def __init__(
+        self,
+        capacity: int = 16,
+        sample_rate: float = 44100.0,
+        channels: int = 2,
+        config: StretchConfig | None = None,
+        names: list[str] | None = None,
+    ) -> None:
+        from bauklank_tpu.engine.config import preset_default
+
+        self.sample_rate = float(sample_rate)
+        self.config = config or preset_default(channels, sample_rate)
+        self.capacity = capacity
+        self.names = names or [f"l{i:02d}" for i in range(capacity)]
+        self._by_name = {n: i for i, n in enumerate(self.names)}
+        one = init_live_state(self.config, 1)
+        self.states: LiveState = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (capacity,) + x.shape), one
+        )
+        self.timemaps = [TimeMap() for _ in range(capacity)]
+        c = self.config.channels
+        self._in_fifo = [np.zeros((c, 0), np.float32) for _ in range(capacity)]
+        self.out_pos = 0
+
+    def feed(self, slot: str, chunk) -> None:
+        """Queue live input samples for one stream ([C, n] or [n])."""
+        i = self._by_name[slot]
+        x = np.asarray(chunk, np.float32)
+        if x.ndim == 1:
+            x = np.broadcast_to(x, (self.config.channels, x.shape[0]))
+        self._in_fifo[i] = np.concatenate([self._in_fifo[i], x], axis=1)
+
+    def schedule(self, slot: str, obj: dict) -> None:
+        self.timemaps[self._by_name[slot]].schedule(obj)
+
+    def step(self) -> np.ndarray:
+        """Process one interval for every stream -> [S, C, interval]."""
+        cfg = self.config
+        n = cfg.interval
+        c = cfg.channels
+        chunks = np.zeros((self.capacity, c, n), np.float32)
+        for i in range(self.capacity):
+            take = min(n, self._in_fifo[i].shape[1])
+            chunks[i, :, :take] = self._in_fifo[i][:, :take]  # underrun -> zeros
+            self._in_fifo[i] = self._in_fifo[i][:, take:]
+        out_t = self.out_pos / self.sample_rate + cfg.output_latency / self.sample_rate
+        p_list = []
+        for tm in self.timemaps:
+            tm.advance_to(out_t)
+            seg = tm.current()
+            p_list.append(
+                StretchParams.make(
+                    active=1.0 if seg.active else 0.0,
+                    rate=1.0,
+                    semitones=seg.semitones,
+                    tonality_hz=seg.tonality_hz,
+                    formant_semitones=seg.formant_semitones,
+                    formant_compensation=1.0 if seg.formant_compensation else 0.0,
+                    formant_base_hz=seg.formant_base_hz,
+                    sample_rate=self.sample_rate,
+                )
+            )
+        params = StretchParams.stack(p_list)
+        self.states, out = _live_step(self.config, self.states, jnp.asarray(chunks), params)
+        self.out_pos += n
+        return np.asarray(out)
