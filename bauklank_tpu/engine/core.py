@@ -246,12 +246,14 @@ def hop_factors(
     )[None, :, :]
 
     if config.formants:
-        power = jnp.square(jnp.abs(cur))  # [C, H, bins] (input envelope)
-        psum = jnp.sum(power, axis=0)     # [H, bins]
+        # channel-summed envelope: one smoother for all channels (a shared
+        # spectral shape is the usual stereo formant model, and it halves
+        # the envelope FFT work)
+        psum = jnp.sum(jnp.square(jnp.abs(cur)), axis=0)  # [H, bins]
         f0 = formant_ops.detect_f0_bands(psum)  # [H]
         base_bands = params.formant_base * block
         sigma = 0.5 * jnp.where(base_bands > 0, base_bands, f0)  # [H]
-        env = formant_ops.spectral_envelope(power, sigma)  # [C, H, bins]
+        env = formant_ops.spectral_envelope(psum, sigma)  # [H, bins]
         gain = gain * formant_ops.formant_gain(
             env, band_f, pos, params.formant_factor, params.formant_compensation,
             params.transpose_factor, limit, block,

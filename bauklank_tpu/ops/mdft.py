@@ -13,8 +13,16 @@ same banding through its opaque WASM core; our public surface only promises
 Forward:  X[k] = sum_n x[n] * exp(-2i*pi*(k+1/2)*n/N),  k in [0, N/2)
 Inverse:  x[n] = (2/N) * Re( sum_k X[k] * exp(+2i*pi*(k+1/2)*n/N) )
 
-Implemented with one complex FFT of size N via premodulation by
-exp(-i*pi*n/N).  TODO(perf): N/2-point complex FFT factorization.
+Fast path (the default): decimation-in-time over even/odd samples packs the
+real input into ONE complex FFT of size N/2 — half the FFT work of the
+naive premodulate-then-size-N-FFT route.  With E[m] = x[2m], O[m] = x[2m+1]
+and the half-bin transform T[f][k] = sum_m f[m] e^{-2i pi (k+1/2) m / M}
+(M = N/2, conjugate-symmetric for real f: T[M-1-k] = conj(T[k])):
+
+    X[k] = T[E][k] + w_k * T[O][k],      w_k = e^{-2i pi (k+1/2) / N}
+
+T[E +iO] is computed with one premodulated size-M complex FFT and unpacked
+through the symmetry.  The inverse runs the algebra backwards (exact).
 """
 
 from __future__ import annotations
@@ -35,17 +43,22 @@ def band_freqs(block: int) -> np.ndarray:
     return ((np.arange(block // 2) + 0.5) / block).astype(np.float32)
 
 
-def _premod(n: int) -> jnp.ndarray:
-    # Complex twiddles are built on-device from a real constant: some TPU
-    # attachment paths cannot transfer complex arrays host<->device, so no
-    # complex constant may cross the boundary.
-    phase = (np.pi / n) * np.arange(n, dtype=np.float32)
-    return jax.lax.complex(jnp.cos(phase), -jnp.sin(phase)).astype(jnp.complex64)
+def _unit_phase(phase: np.ndarray) -> jnp.ndarray:
+    """Complex exponential built on-device from a real numpy constant (some
+    TPU attachment paths cannot transfer complex arrays host<->device)."""
+    p = phase.astype(np.float32)
+    return jax.lax.complex(jnp.cos(jnp.asarray(p)), jnp.sin(jnp.asarray(p))).astype(jnp.complex64)
 
 
-def _postmod(n: int) -> jnp.ndarray:
-    phase = (np.pi / n) * np.arange(n, dtype=np.float32)
-    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(jnp.complex64)
+def _halfbin_fwd(z: jnp.ndarray, m: int) -> jnp.ndarray:
+    """T[z][k] = sum_m z[m] e^{-2i pi (k+1/2) m / M} via premod + FFT."""
+    pre = _unit_phase(-np.pi * np.arange(m) / m)
+    return jnp.fft.fft(z * pre, axis=-1)
+
+
+def _halfbin_inv(spec: jnp.ndarray, m: int) -> jnp.ndarray:
+    post = _unit_phase(np.pi * np.arange(m) / m)
+    return jnp.fft.ifft(spec, axis=-1) * post
 
 
 def mdft(x: jnp.ndarray) -> jnp.ndarray:
@@ -54,9 +67,16 @@ def mdft(x: jnp.ndarray) -> jnp.ndarray:
     x: real [..., N]  ->  complex64 [..., N/2]
     """
     n = x.shape[-1]
-    y = x.astype(jnp.float32) * _premod(n)
-    spec = jnp.fft.fft(y, axis=-1)
-    return spec[..., : n // 2].astype(jnp.complex64)
+    m = n // 2
+    x = x.astype(jnp.float32)
+    even = x[..., 0::2]
+    odd = x[..., 1::2]
+    tz = _halfbin_fwd(jax.lax.complex(even, odd), m)  # [..., M]
+    tz_rev = jnp.conj(tz[..., ::-1])
+    te = 0.5 * (tz + tz_rev)
+    to = -0.5j * (tz - tz_rev)
+    w = _unit_phase(-2.0 * np.pi * (np.arange(m) + 0.5) / n)
+    return (te + w * to).astype(jnp.complex64)
 
 
 def imdft(spec: jnp.ndarray, block: int) -> jnp.ndarray:
@@ -66,8 +86,33 @@ def imdft(spec: jnp.ndarray, block: int) -> jnp.ndarray:
     """
     half = spec.shape[-1]
     assert block == 2 * half, (block, half)
+    m = half
+    x_rev = jnp.conj(spec[..., ::-1])
+    te = 0.5 * (spec + x_rev)
+    w = _unit_phase(-2.0 * np.pi * (np.arange(m) + 0.5) / block)
+    to = (spec - x_rev) * (0.5 / w)
+    z = _halfbin_inv(te + 1j * to, m)
+    even = jnp.real(z)
+    odd = jnp.imag(z)
+    out = jnp.stack([even, odd], axis=-1).reshape(spec.shape[:-1] + (block,))
+    return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------- reference
+def _mdft_direct(x: jnp.ndarray) -> jnp.ndarray:
+    """Naive premod + size-N complex FFT (kept as the test oracle)."""
+    n = x.shape[-1]
+    pre = _unit_phase(-np.pi * np.arange(n) / n)
+    y = x.astype(jnp.float32) * pre
+    return jnp.fft.fft(y, axis=-1)[..., : n // 2].astype(jnp.complex64)
+
+
+def _imdft_direct(spec: jnp.ndarray, block: int) -> jnp.ndarray:
+    half = spec.shape[-1]
+    assert block == 2 * half
     z = jnp.concatenate(
         [spec, jnp.zeros(spec.shape[:-1] + (block - half,), spec.dtype)], axis=-1
     )
-    t = jnp.fft.ifft(z, axis=-1) * _postmod(block)
+    post = _unit_phase(np.pi * np.arange(block) / block)
+    t = jnp.fft.ifft(z, axis=-1) * post
     return (2.0 * jnp.real(t)).astype(jnp.float32)

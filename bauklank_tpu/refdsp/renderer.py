@@ -177,9 +177,10 @@ def render_offline(
 
         if config.formants:
             power = np.abs(cur) ** 2
+            psum = power.sum(axis=0)
             base_bands = formant_base * b
-            sigma = 0.5 * (base_bands if base_bands > 0 else _detect_f0(power.sum(axis=0)))
-            env = _envelope(power, sigma)
+            sigma = 0.5 * (base_bands if base_bands > 0 else _detect_f0(psum))
+            env = _envelope(psum, sigma)  # shared across channels
             f_t = f_out / max(formant_factor, 1e-6)
             f_uncomp = np.where(
                 f_t <= limit * transpose_factor,

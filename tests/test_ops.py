@@ -28,6 +28,19 @@ def test_mdft_roundtrip(n):
     assert snr_db(x, back) > 110
 
 
+@pytest.mark.parametrize("n", [256, 882, 4096])
+def test_mdft_fast_equals_direct(n):
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    fast = np.asarray(mdft.mdft(jnp.asarray(x)))
+    direct = np.asarray(mdft._mdft_direct(jnp.asarray(x)))
+    np.testing.assert_allclose(fast, direct, atol=1e-3 * np.abs(direct).max())
+    spec = jnp.asarray(fast)
+    back_fast = np.asarray(mdft.imdft(spec, n))
+    back_direct = np.asarray(mdft._imdft_direct(spec, n))
+    np.testing.assert_allclose(back_fast, back_direct, atol=1e-4)
+
+
 def test_mdft_band_centers():
     # A tone exactly at band k's center lands entirely in band k.
     n = 1024
