@@ -40,3 +40,30 @@ def test_hop_sharded_matches_single_device():
         want = stretch_offline(audio[i], float(rates[i]), cfg, params=p, n_out=n_out)
         s_db = snr_db(want[:, cfg.block :], got[i][:, cfg.block :])
         assert s_db > 45.0, (i, s_db)
+
+
+def test_hop_sharded_matches_with_transient_resets():
+    """The cross-device prefix must compose correctly through per-band
+    resets (the 'last reset wins' semigroup)."""
+    assert jax.device_count() >= 8
+    cfg = StretchConfig(channels=1, block=512, interval=128, formants=False,
+                        transient_reset_db=6.0)
+    mesh = stream_seq_mesh(2, 4)
+    rng = np.random.default_rng(1)
+    s = 2
+    # bursty material so resets actually fire
+    audio = np.zeros((s, 1, 30000), np.float32)
+    audio[:, 0] += (rng.standard_normal(30000) * 0.05).astype(np.float32)
+    for k in range(6):
+        p = 2000 + 4500 * k
+        audio[:, 0, p : p + 800] += tone(300.0 + 100 * k, 800, SR) * 0.8
+    rates = np.asarray([0.6, 1.4])
+    params = SP.stack([SP.make(rate=r, semitones=m, sample_rate=SR)
+                       for r, m in zip(rates, [4.0, -6.0])])
+    n_out = 8 * 1024
+    got = np.asarray(stretch_offline_sharded(audio, rates, cfg, params, n_out, mesh))
+    for i in range(s):
+        p = jax.tree.map(lambda x: x[i], params)
+        want = stretch_offline(audio[i], float(rates[i]), cfg, params=p, n_out=n_out)
+        s_db = snr_db(want[:, cfg.block :], got[i][:, cfg.block :])
+        assert s_db > 45.0, (i, s_db)
