@@ -42,15 +42,20 @@ class LivePool:
         channels: int = 2,
         config: StretchConfig | None = None,
         names: list[str] | None = None,
+        hops_per_step: int = 1,
     ) -> None:
+        # hops_per_step > 1 amortizes dispatch latency (valuable on
+        # high-latency device attachments) at the cost of that many
+        # intervals of extra control latency.
         from bauklank_tpu.engine.config import preset_default
 
         self.sample_rate = float(sample_rate)
         self.config = config or preset_default(channels, sample_rate)
         self.capacity = capacity
+        self.hops_per_step = hops_per_step
         self.names = names or [f"l{i:02d}" for i in range(capacity)]
         self._by_name = {n: i for i, n in enumerate(self.names)}
-        one = init_live_state(self.config, 1)
+        one = init_live_state(self.config, hops_per_step)
         self.states: LiveState = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (capacity,) + x.shape), one
         )
@@ -71,9 +76,10 @@ class LivePool:
         self.timemaps[self._by_name[slot]].schedule(obj)
 
     def step(self) -> np.ndarray:
-        """Process one interval for every stream -> [S, C, interval]."""
+        """Process hops_per_step intervals for every stream
+        -> [S, C, hops_per_step * interval]."""
         cfg = self.config
-        n = cfg.interval
+        n = cfg.interval * self.hops_per_step
         c = cfg.channels
         chunks = np.zeros((self.capacity, c, n), np.float32)
         for i in range(self.capacity):

@@ -31,3 +31,21 @@ def test_livepool_per_stream_shifts_and_underrun():
     assert np.abs(y[2]).max() < 1e-6
     # live output at rate 1: energy flows through
     assert np.sqrt((seg_a**2).mean()) > 0.2
+
+
+def test_livepool_multi_hop_steps_match_single():
+    cfg = StretchConfig(channels=1, block=512, interval=128, formants=False)
+    x = tone(550.0, 8192, SR)
+
+    def run(hps):
+        pool = LivePool(capacity=2, sample_rate=SR, channels=1, config=cfg,
+                        names=["a", "b"], hops_per_step=hps)
+        pool.schedule("a", {"output": 0.0, "active": True, "semitones": 7})
+        pool.schedule("b", {"output": 0.0, "active": True})
+        pool.feed("a", x)
+        pool.feed("b", x * 0.5)
+        outs = [pool.step() for _ in range(8192 // (cfg.interval * hps))]
+        return np.concatenate(outs, axis=2)
+
+    y1, y4 = run(1), run(4)
+    np.testing.assert_allclose(y1, y4, atol=2e-4)
