@@ -72,7 +72,11 @@ class ControlServer:
         ws_port: int = 8765,  # reference: server-multi.py:80
         audio_sink=None,
         render_ahead_sec: float = 0.25,
+        serial_log: str = "digest",  # "full" | "digest" (reference :163-168)
     ) -> None:
+        self.serial_log = serial_log
+        self._digest_last = 0.0
+        self._digest_base: dict[str, int] = {}
         self.engine_slots = engine_slots or ["A"]
         self.pool = pool
         # audio_sink(master [2, n] float32) is the DAC boundary — the role
@@ -155,7 +159,27 @@ class ControlServer:
 
     def _forward_from_serial(self, msg: dict) -> None:
         # called synchronously from the pump; schedule async fan-out
+        if self.serial_log == "full":
+            log.info("📟 %s", msg)
         asyncio.get_running_loop().create_task(self._handle_set(msg))
+
+    def _log_serial_digest(self) -> None:
+        """Per-key message-count deltas, the reference's digest mode
+        (server-multi.py:774-804)."""
+        if self.session is None or self.serial_log != "digest":
+            return
+        now = time.monotonic()
+        if now - self._digest_last < 10.0:
+            return
+        deltas = {
+            k: v - self._digest_base.get(k, 0)
+            for k, v in self.session.counters.items()
+            if v - self._digest_base.get(k, 0)
+        }
+        if deltas:
+            log.info("📟 serial digest (10s): %s", deltas)
+        self._digest_base = dict(self.session.counters)
+        self._digest_last = now
 
     # --------------------------------------------------------------- tasks
     async def serial_manager_task(self) -> None:
@@ -182,6 +206,7 @@ class ControlServer:
                     continue
             try:
                 n = self.session.pump()
+                self._log_serial_digest()
             except OSError:
                 dev = self.session.hello.get("deviceId", "?")
                 log.warning("📟 controller detached: %s", dev)
@@ -279,6 +304,7 @@ def _parse_args(argv=None):
     ap.add_argument("--ws-port", type=int, default=8765)
     ap.add_argument("--startup-log-level", default="info")
     ap.add_argument("--run-log-level", default="info")
+    ap.add_argument("--serial-log", default="digest", choices=("full", "digest"))
     ap.add_argument("--pool-capacity", type=int, default=0,
                     help="batched voice slots; 0 = control-plane only")
     return ap.parse_args(argv)
@@ -292,7 +318,8 @@ def main(argv=None) -> None:
     if args.pool_capacity:
         pool = StreamPool(capacity=args.pool_capacity, names=slots[: args.pool_capacity])
     server = ControlServer(pool=pool, engine_slots=slots,
-                           ws_host=args.ws_host, ws_port=args.ws_port)
+                           ws_host=args.ws_host, ws_port=args.ws_port,
+                           serial_log=args.serial_log)
     _setup_logging(args.run_log_level)
     asyncio.run(server.run())
 

@@ -164,6 +164,45 @@ def test_pool_input_time_tracks_rate():
     assert t == pytest.approx(pool.output_time * 0.5, abs=0.02)
 
 
+def test_serial_digest_logging(caplog):
+    """Digest mode logs per-key message-count deltas (reference serial log
+    modes, server-multi.py:163-168, 774-804)."""
+    import logging
+    import time as _time
+
+    async def scenario():
+        server = ControlServer(engine_slots=["A"], serial_log="digest")
+        fc = FakeController("enc-dig")
+        server.add_transport(fc)
+        task = asyncio.create_task(server.serial_manager_task())
+        await asyncio.sleep(0.1)
+        for _ in range(5):
+            fc.turn("A", "rate", 0.3)
+        fc.turn("A", "volume", 10)
+        server._digest_last = _time.monotonic() - 11.0  # force a digest tick
+        with caplog.at_level(logging.INFO, logger="bauklank.serve"):
+            await asyncio.sleep(0.3)
+        server.stop()
+        task.cancel()
+        try:
+            await task
+        except (asyncio.CancelledError, Exception):
+            pass
+        digest_lines = [r.message for r in caplog.records if "serial digest" in r.message]
+        assert digest_lines, caplog.records
+        assert "rate" in digest_lines[0]
+
+    asyncio.run(scenario())
+
+
+def test_utils_version_format():
+    from bauklank_tpu.utils.version import full_version
+
+    v = full_version("/root/repo")
+    assert v.startswith("0.1.0")
+    assert "+g" in v  # git hash decoration like the reference server
+
+
 def test_server_survives_malformed_frames():
     """Garbage, wrong-typed, unknown-slot, and unknown-key frames must not
     kill the connection or the server (the reference only logs inbound
