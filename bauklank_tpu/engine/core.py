@@ -186,8 +186,18 @@ def hop_factors(
     # --- batched analysis: cur frames and prev (one interval earlier) ------
     starts_cur = frame_ends.astype(jnp.int32) - block
     starts = jnp.concatenate([starts_cur, starts_cur - interval])  # [2H]
-    frames = framing.gather_frames(audio, starts, block)  # [C, 2H, B]
-    specs = mdft.mdft(frames * wa) * _center_phase(block // 2)  # [C, 2H, bins]
+    if jax.default_backend() == "tpu" and block % 128 == 0:
+        # fused Pallas fetch: aligned DMA + MXU lane rotation + windowing
+        # (~2x the XLA gather at engine shapes; exact)
+        from bauklank_tpu.ops.pallas.frames import gather_frames_windowed
+
+        fr = gather_frames_windowed(
+            audio[None], starts[None], jnp.asarray(wa), block, False
+        )[0]  # [2H, C, B]
+        windowed = fr.transpose(1, 0, 2)  # [C, 2H, B]
+    else:
+        windowed = framing.gather_frames(audio, starts, block) * wa
+    specs = mdft.mdft(windowed) * _center_phase(block // 2)  # [C, 2H, bins]
     cur = specs[:, :h]
 
     # --- pitch-mapped band gather (one MXU einsum for cur+prev) -------------
