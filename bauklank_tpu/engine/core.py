@@ -15,14 +15,16 @@ are read from pitch-mapped input bands (tonality-limited mapping,
 from where the previous output hop left off; a constant extra rotation of
 ``2*pi*(f_out - f_in)*interval`` per hop realizes the pitch shift.
 
-The TPU reformulation: with output ``out_h = rot_h * cur_h`` (one shared
-unit rotation per band, preserving all intra-hop and inter-channel phase
-structure), the recursion
+The TPU reformulation: the output is ``out_h = rot_h * cur_h`` with one
+shared unit rotation per band (preserving intra-hop spectral and
+inter-channel phase structure), and the rotation recursion
 
-    rot_h = rot_{h-1} * unit(sum_c cur_{h-1,c} * conj(prev_{h,c})) * offset
+    rot_h = rot_{h-1} * a_h * b_h            (see hop_factors for a_h, b_h)
 
-is a *pure cumulative complex product* of per-hop factors computable from
-input analyses alone.  So a whole chunk of hops runs as: one batched MDFT
+is a cumulative complex product of per-hop factors computable from input
+analyses alone — optionally generalized to a "last reset wins" semigroup for
+transient phase re-anchoring (rotation_scan).  So a whole chunk of hops runs
+as: one batched windowed frame fetch (Pallas on TPU) -> one batched MDFT
 over all (cur, prev) frames -> elementwise factor computation ->
 ``lax.associative_scan`` (parallel prefix) over hops -> batched inverse MDFT
 -> one overlap-add.  No sequential per-hop loop anywhere; the only carried
@@ -43,7 +45,14 @@ from bauklank_tpu.engine.params import StretchParams
 from bauklank_tpu.ops import formant as formant_ops
 from bauklank_tpu.ops import framing, mdft, pitchmap, windows
 
-__all__ = ["StretchState", "init_state", "process_chunk", "flush"]
+__all__ = [
+    "StretchState",
+    "init_state",
+    "process_chunk",
+    "hop_factors",
+    "rotation_scan",
+    "flush",
+]
 
 
 class StretchState(NamedTuple):
