@@ -52,6 +52,8 @@ def config1(quick):
     rate = 1.5
     n_out = int(x.shape[1] / rate)
     params = StretchParams.make(rate=rate, sample_rate=sr)
+    # warm (compile + device first-touch) outside the timed region
+    stretch_offline(x, rate, cfg, params=params, n_out=4 * 64 * cfg.interval)
     t0 = time.perf_counter()
     got = stretch_offline(x, rate, cfg, params=params, n_out=n_out)
     dt = time.perf_counter() - t0
@@ -165,9 +167,10 @@ def config5(quick):
     states, out = batched_step_jit(config, states, audios, ends(0), params)
     _fence(out)
     steps = 4 if quick else 8
+    pre = [ends(i) for i in range(1, steps + 1)]  # host work outside the loop
     t0 = time.perf_counter()
-    for i in range(1, steps + 1):
-        states, out = batched_step_jit(config, states, audios, ends(i), params)
+    for i in range(steps):
+        states, out = batched_step_jit(config, states, audios, pre[i], params)
     _fence(out)
     dt = time.perf_counter() - t0
     rtf = steps * s * h * config.interval / dt / sr
