@@ -46,6 +46,23 @@ def _chunk_jit(config, state, audio, frame_ends, params):
     return process_chunk(config, state, audio, frame_ends, params)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _render_all_jit(config, state, audio, ends_all, params):
+    """Whole-track render as ONE dispatch: lax.scan over chunk hop-tables.
+
+    One dispatch instead of one per chunk matters wherever host<->device
+    round trips are expensive (remote-attached accelerators); compute is
+    identical to chunked process_chunk calls.
+    """
+
+    def body(st, ends):
+        st, out = process_chunk(config, st, audio, ends, params)
+        return st, out
+
+    state, outs = jax.lax.scan(body, state, ends_all)  # outs [N, C, H*I]
+    return state, outs
+
+
 def stretch_offline(
     audio: np.ndarray | jnp.ndarray,
     rate: float,
@@ -70,13 +87,23 @@ def stretch_offline(
 
     i = config.interval
     total_hops = -(-n_out // i)
+    # bigger hop batches utilize the chip far better for offline renders;
+    # bounded so frame tensors stay within memory
+    chunk_hops = max(chunk_hops, min(512, total_hops))
     n_chunks = -(-total_hops // chunk_hops)
+    # bucket the chunk count (powers of two) so the one-dispatch renderer
+    # compiles per bucket, not per track length; surplus chunks read past
+    # the track (zero frames) and are sliced away
+    bucket = 1
+    while bucket < n_chunks:
+        bucket *= 2
 
+    ends_all = np.stack(
+        [frame_ends_for(config, ci * chunk_hops * i, chunk_hops, rate) for ci in range(bucket)]
+    )
     state = init_state(config)
-    pieces = []
-    for ci in range(n_chunks):
-        ends = frame_ends_for(config, ci * chunk_hops * i, chunk_hops, rate)
-        state, out = _chunk_jit(config, state, audio, jnp.asarray(ends, jnp.int32), params)
-        pieces.append(out)  # stays on device; one transfer at the end
-    y = np.asarray(jnp.concatenate(pieces, axis=1)[:, :n_out])
-    return y
+    _, outs = _render_all_jit(
+        config, state, audio, jnp.asarray(ends_all, jnp.int32), params
+    )  # [bucket, C, H*I]
+    y = jnp.moveaxis(outs, 0, 1).reshape(config.channels, -1)[:, :n_out]
+    return np.asarray(y)

@@ -52,8 +52,8 @@ def config1(quick):
     rate = 1.5
     n_out = int(x.shape[1] / rate)
     params = StretchParams.make(rate=rate, sample_rate=sr)
-    # warm (compile + device first-touch) outside the timed region
-    stretch_offline(x, rate, cfg, params=params, n_out=4 * 64 * cfg.interval)
+    # warm with identical shapes (compile + first-touch outside the timing)
+    stretch_offline(x, rate, cfg, params=params, n_out=n_out)
     t0 = time.perf_counter()
     got = stretch_offline(x, rate, cfg, params=params, n_out=n_out)
     dt = time.perf_counter() - t0
@@ -73,8 +73,8 @@ def _offline_rtf(cfg_kw, params_kw, rate, channels, quick, config_id, sr=44100.0
     x = _material(2.0 if quick else 10.0, sr, channels)
     params = StretchParams.make(sample_rate=sr, **params_kw)
     n_out = int(x.shape[1] / rate)
-    # warm (compile) on a small piece
-    stretch_offline(x, rate, cfg, params=params, n_out=min(n_out, 4 * cfg.interval))
+    # warm with identical shapes (compile outside the timing)
+    stretch_offline(x, rate, cfg, params=params, n_out=n_out)
     t0 = time.perf_counter()
     out = stretch_offline(x, rate, cfg, params=params, n_out=n_out)
     dt = time.perf_counter() - t0
