@@ -185,13 +185,37 @@ class StretchNode:
         (app/SignalsmithStretch.mjs:884-936).
         """
         while self._fifo.shape[1] < n_samples:
-            self._render_hops(self.hops_per_dispatch)
+            deficit = n_samples - self._fifo.shape[1]
+            hops_needed = -(-deficit // self.config.interval)
+            # bucket large pulls into big dispatches (compiled per bucket);
+            # small pulls keep hops_per_dispatch-granularity control latency
+            hops = self.hops_per_dispatch
+            for bucket in (64, 16):
+                if hops_needed >= bucket:
+                    hops = bucket
+                    break
+            # a chunk shares one parameter set: never render across the next
+            # schedule boundary (params are sampled per chunk, times per hop)
+            hops = min(hops, max(1, self._hops_to_boundary()))
+            self._render_hops(hops)
         out, self._fifo = self._fifo[:, :n_samples], self._fifo[:, n_samples:]
         self._out_pos += n_samples
         # report the playhead at the *pulled* position (the reference posts
         # ['time', inputTime] for the quantum it just rendered, :938-942)
         self.input_time = self.timemap.input_time_at(self.output_time)
         return out
+
+    def _hops_to_boundary(self) -> int:
+        """Hops renderable before the next time-map segment takes effect."""
+        segs = self.timemap.segments
+        if len(segs) < 2:
+            return 1 << 30
+        sr = self.sample_rate
+        next_out = segs[1].output - self.config.output_latency / sr
+        rendered = self._out_pos + self._fifo.shape[1]
+        # hop h samples its params at (rendered + h*I + B/2)/sr (+latency)
+        samples_left = (next_out * sr) - rendered - self.config.block / 2
+        return int(np.floor(samples_left / self.config.interval))
 
     def _render_hops(self, n_hops: int) -> None:
         cfg = self.config
