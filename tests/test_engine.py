@@ -173,6 +173,36 @@ def test_inactive_stream_is_silent():
     assert np.max(np.abs(y)) == 0.0
 
 
+def test_extreme_stretch_rate_0001_kiosk_config():
+    """The installation's signature mode: rate 0.001 (1000x slower) at the
+    deployed kiosk config must yield a stable, spectrally-faithful drone
+    (no amplitude blowup, partials preserved)."""
+    from bauklank_tpu.models import KIOSK_ENGINE_A
+
+    n = int(3 * SR)
+    t = np.arange(n) / SR
+    x = (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.25 * np.sin(2 * np.pi * 277.2 * t)
+        + 0.02 * np.random.default_rng(0).standard_normal(n)
+    ).astype(np.float32)[None]
+    cfg = KIOSK_ENGINE_A.config(channels=1, sample_rate=SR)
+    params = StretchParams.make(rate=0.001, tonality_hz=16000.0, sample_rate=SR)
+    y = stretch_offline(x, 0.001, cfg, params=params, n_out=int(4 * SR))[0]
+    seg = y[int(1.5 * SR) :]
+    w = int(0.25 * SR)
+    rms = np.array([np.sqrt((seg[i : i + w] ** 2).mean()) for i in range(0, len(seg) - w, w)])
+    assert rms.min() > 0.05, rms
+    assert rms.max() / rms.min() < 2.0, rms  # stable drone, no pumping
+    assert np.abs(y).max() < 2.0            # no blowup
+    spec = np.abs(np.fft.rfft(seg[: int(2 * SR)] * np.hanning(int(2 * SR))))
+    freqs = np.fft.rfftfreq(int(2 * SR), 1 / SR)
+    for f0 in (220.0, 277.2):
+        i = int(np.argmin(np.abs(freqs - f0)))
+        band = spec[max(0, i - 40) : i + 40].max()
+        assert band > 10 * np.median(spec), (f0, band)
+
+
 def test_formant_neutral_when_off():
     """formant_factor=1, compensation off: formant path must be an exact
     no-op (gain == 1)."""
