@@ -38,8 +38,14 @@ __all__ = ["StretchNode"]
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _chunk_jit(config, state, audio, frame_ends, params):
-    return process_chunk(config, state, audio, frame_ends, params)
+def _chunk_jit(config, state, audio, packed):
+    """packed [H+7] float32: hop frame-ends then the 7 StretchParams fields
+    — one host->device transfer per dispatch (split small transfers each
+    pay full transport latency on remote-attached devices)."""
+    h = packed.shape[0] - 7
+    ends = packed[:h].astype(jnp.int32)
+    params = StretchParams(*[packed[h + i] for i in range(7)])
+    return process_chunk(config, state, audio, ends, params)
 
 
 class StretchNode:
@@ -221,28 +227,25 @@ class StretchNode:
         cfg = self.config
         sr = self.sample_rate
         audio = self._device_audio()
-        ends = np.zeros(n_hops, np.int64)
+        packed = np.zeros(n_hops + 7, np.float32)
         seg = None
         for h in range(n_hops):
             # output frame center for this hop, in seconds (+ latency offset)
             out_center = (self._out_pos + self._fifo.shape[1] + h * cfg.interval + cfg.block // 2)
             out_t = out_center / sr + cfg.output_latency / sr
             in_t = self.timemap.input_time_at(out_t)
-            ends[h] = int(round(in_t * sr)) + cfg.block // 2
+            packed[h] = float(int(round(in_t * sr)) + cfg.block // 2)
             seg = self.timemap.current()
-        params = StretchParams.make(
-            active=1.0 if seg.active else 0.0,
-            rate=seg.rate,
-            semitones=seg.semitones,
-            tonality_hz=seg.tonality_hz,
-            formant_semitones=seg.formant_semitones,
-            formant_compensation=1.0 if seg.formant_compensation else 0.0,
-            formant_base_hz=seg.formant_base_hz,
-            sample_rate=sr,
+        packed[n_hops:] = (
+            1.0 if seg.active else 0.0,
+            seg.rate,
+            2.0 ** (seg.semitones / 12.0),
+            seg.tonality_hz / sr,
+            2.0 ** (seg.formant_semitones / 12.0),
+            1.0 if seg.formant_compensation else 0.0,
+            seg.formant_base_hz / sr,
         )
-        self._state, out = _chunk_jit(
-            self.config, self._state, audio, jnp.asarray(ends, jnp.int32), params
-        )
+        self._state, out = _chunk_jit(self.config, self._state, audio, jnp.asarray(packed))
         self._fifo = np.concatenate([self._fifo, np.asarray(out)], axis=1)
         self._since_update += out.shape[1] / sr
         if self._update_cb and self._since_update >= self._update_interval:

@@ -27,7 +27,9 @@ __all__ = ["LivePool"]
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def _live_step(config, states, chunks, params):
+def _live_step(config, states, chunks, packed):
+    # packed [S, 7]: StretchParams fields in one host->device transfer
+    params = StretchParams(*[packed[:, i] for i in range(7)])
     fn = functools.partial(process_live, config)
     return jax.vmap(fn)(states, chunks, params)
 
@@ -87,23 +89,22 @@ class LivePool:
             chunks[i, :, :take] = self._in_fifo[i][:, :take]  # underrun -> zeros
             self._in_fifo[i] = self._in_fifo[i][:, take:]
         out_t = self.out_pos / self.sample_rate + cfg.output_latency / self.sample_rate
-        p_list = []
-        for tm in self.timemaps:
+        sr = self.sample_rate
+        packed = np.zeros((self.capacity, 7), np.float32)
+        for i, tm in enumerate(self.timemaps):
             tm.advance_to(out_t)
             seg = tm.current()
-            p_list.append(
-                StretchParams.make(
-                    active=1.0 if seg.active else 0.0,
-                    rate=1.0,
-                    semitones=seg.semitones,
-                    tonality_hz=seg.tonality_hz,
-                    formant_semitones=seg.formant_semitones,
-                    formant_compensation=1.0 if seg.formant_compensation else 0.0,
-                    formant_base_hz=seg.formant_base_hz,
-                    sample_rate=self.sample_rate,
-                )
+            packed[i] = (
+                1.0 if seg.active else 0.0,
+                1.0,  # live mode consumes input in lockstep
+                2.0 ** (seg.semitones / 12.0),
+                seg.tonality_hz / sr,
+                2.0 ** (seg.formant_semitones / 12.0),
+                1.0 if seg.formant_compensation else 0.0,
+                seg.formant_base_hz / sr,
             )
-        params = StretchParams.stack(p_list)
-        self.states, out = _live_step(self.config, self.states, jnp.asarray(chunks), params)
+        self.states, out = _live_step(
+            self.config, self.states, jnp.asarray(chunks), jnp.asarray(packed)
+        )
         self.out_pos += n
         return np.asarray(out)

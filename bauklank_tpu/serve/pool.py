@@ -62,12 +62,21 @@ class VoiceSlot:
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def _pool_step(config, states, audios, ends, params, gains, pans):
+def _pool_step(config, states, audios, packed):
     """One batched step + 30ms-style linear mix ramp + stereo mixdown.
 
-    gains/pans: [S, 2] (start, end) per chunk.
+    ``packed`` [S, H + 11] float32 carries per-stream hop tables, params,
+    and mix ramps in ONE host->device transfer (split transfers each pay
+    the full transport latency on remote-attached devices):
+      [:H] frame ends, [H:H+7] StretchParams fields, [H+7:H+9] gain
+      (start, end), [H+9:H+11] pan (start, end).
     Returns (states, master [2, n], streams [S, C, n]).
     """
+    h = packed.shape[1] - 11
+    ends = packed[:, :h].astype(jnp.int32)
+    params = StretchParams(*[packed[:, h + i] for i in range(7)])
+    gains = packed[:, h + 7 : h + 9]
+    pans = packed[:, h + 9 : h + 11]
     states, out = batched_process_chunk(config, states, audios, ends, params)
     n = out.shape[-1]
     t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)[None, :]
@@ -198,43 +207,31 @@ class StreamPool:
         self.timer.start()
         sr = self.sample_rate
         h = self.hops_per_step
-        ends = np.zeros((self.capacity, h), np.int64)
-        p_list = []
-        gains = np.zeros((self.capacity, 2), np.float32)
-        pans = np.zeros((self.capacity, 2), np.float32)
+        # single packed host->device transfer per step (see _pool_step)
+        packed = np.zeros((self.capacity, h + 11), np.float32)
         for i, s in enumerate(self.slots):
             seg = None
             for k in range(h):
                 out_center = self.out_pos + k * cfg.interval + cfg.block // 2
                 out_t = out_center / sr + cfg.output_latency / sr
                 in_t = s.timemap.input_time_at(out_t)
-                ends[i, k] = int(round(in_t * sr)) + cfg.block // 2
+                packed[i, k] = float(int(round(in_t * sr)) + cfg.block // 2)
                 seg = s.timemap.current()
-            p_list.append(
-                StretchParams.make(
-                    active=1.0 if (seg.active and s.loaded) else 0.0,
-                    rate=seg.rate,
-                    semitones=seg.semitones,
-                    tonality_hz=seg.tonality_hz,
-                    formant_semitones=seg.formant_semitones,
-                    formant_compensation=1.0 if seg.formant_compensation else 0.0,
-                    formant_base_hz=seg.formant_base_hz,
-                    sample_rate=sr,
-                )
+            packed[i, h : h + 7] = (
+                1.0 if (seg.active and s.loaded) else 0.0,
+                seg.rate,
+                2.0 ** (seg.semitones / 12.0),
+                seg.tonality_hz / sr,
+                2.0 ** (seg.formant_semitones / 12.0),
+                1.0 if seg.formant_compensation else 0.0,
+                seg.formant_base_hz / sr,
             )
-            gains[i] = (s._prev_volume, s.volume)
-            pans[i] = (s._prev_pan, s.pan)
+            packed[i, h + 7 : h + 9] = (s._prev_volume, s.volume)
+            packed[i, h + 9 : h + 11] = (s._prev_pan, s.pan)
             s._prev_volume = s.volume
             s._prev_pan = s.pan
-        params = StretchParams.stack(p_list)
         self.states, master, streams = _pool_step(
-            cfg,
-            self.states,
-            self._device_audio(),
-            jnp.asarray(ends, jnp.int32),
-            params,
-            jnp.asarray(gains),
-            jnp.asarray(pans),
+            cfg, self.states, self._device_audio(), jnp.asarray(packed)
         )
         self.out_pos += h * cfg.interval
         if fetch:
