@@ -107,6 +107,20 @@ def test_cli_stretch_end_to_end(tmp_path):
     assert abs(dominant_freq(seg, sr) - 880.0) < 6.0
 
 
+def test_load_audio_resamples(tmp_path):
+    from tests.util import dominant_freq, tone
+
+    from bauklank_tpu.utils.audio import load_audio
+
+    sr_in = 22050
+    x = tone(1000.0, 2 * sr_in, sr_in)
+    wav_write(tmp_path / "r.wav", x[None, :], sr_in)
+    planes, sr = load_audio(tmp_path / "r.wav", sample_rate=44100)
+    assert sr == 44100
+    assert abs(planes.shape[1] - 2 * 44100) <= 4
+    assert abs(dominant_freq(planes[0, 1000:9192], 44100.0) - 1000.0) < 5.0
+
+
 def test_cli_topology_header():
     res = subprocess.run(
         [sys.executable, "-m", "bauklank_tpu", "topology-header"],
