@@ -73,10 +73,15 @@ class ControlServer:
         audio_sink=None,
         render_ahead_sec: float = 0.25,
         serial_log: str = "digest",  # "full" | "digest" (reference :163-168)
+        topology=None,
     ) -> None:
         self.serial_log = serial_log
         self._digest_last = 0.0
         self._digest_base: dict[str, int] = {}
+        # installation topology SSOT decorates controllerStatus with the
+        # per-channel encoder deviceIds (reference: server-multi.py:26-31,
+        # 643-649 importing time_pitch_mapping)
+        self.topology = topology
         self.engine_slots = engine_slots or ["A"]
         self.pool = pool
         # audio_sink(master [2, n] float32) is the DAC boundary — the role
@@ -117,13 +122,18 @@ class ControlServer:
 
     def controller_status(self) -> dict:
         attached = self.session is not None
+        device_id = self.session.hello.get("deviceId") if attached else None
+        encoder_ids = None
+        if self.topology is not None and device_id is not None:
+            encoder_ids = self.topology.channel_encoder_ids(device_id)
         return protocol.controller_status_msg(
             connected=attached,
             port=getattr(self.session.transport, "device_id", "mem") if attached else None,
-            device_id=self.session.hello.get("deviceId") if attached else None,
+            device_id=device_id,
             fw=self.session.hello.get("fw") if attached else None,
             engines=self.engine_slots,
             encoder_ages_ms=self.liveness.ages_ms(),
+            encoder_device_ids=encoder_ids,
         )
 
     # ------------------------------------------------------------- handlers

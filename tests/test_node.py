@@ -71,6 +71,21 @@ def test_node_configure_overlap_and_latency():
     assert node.interval_samples == round(SR * 0.04)
 
 
+def test_node_loop_region_wraps_playhead():
+    """loopStart/loopEnd wrap the input playhead during playback (reference
+    loop wrap in the render loop, app/SignalsmithStretch.mjs:884-889)."""
+    node = _node()
+    node.add_buffers([tone(440.0, int(3 * SR), SR)])
+    node.schedule({"output": 0.0, "active": True, "rate": 1.0, "input": 0.5,
+                   "loopStart": 0.5, "loopEnd": 1.0})
+    node.process_output(int(2.5 * SR))
+    t = node.input_time
+    assert 0.45 <= t <= 1.05, t  # stayed inside the loop region
+    # and the audio keeps playing (not silence after the wrap)
+    out = node.process_output(8192)
+    assert np.sqrt((out**2).mean()) > 0.1
+
+
 def test_node_update_callback_fires():
     node = _node()
     node.add_buffers([tone(220.0, int(2 * SR), SR)])

@@ -164,6 +164,32 @@ def test_pool_input_time_tracks_rate():
     assert t == pytest.approx(pool.output_time * 0.5, abs=0.02)
 
 
+def test_controller_status_topology_decoration():
+    """The topology SSOT decorates per-channel encoder deviceIds
+    (reference: server-multi.py:26-31, 643-649)."""
+    from bauklank_tpu.models import TimePitchTopology
+
+    async def scenario():
+        topo = TimePitchTopology({"enc-top": {"A": "enc-time", "B": "enc-pitch"}})
+        server = ControlServer(engine_slots=["A", "B"], topology=topo)
+        fc = FakeController("enc-top")
+        server.add_transport(fc)
+        task = asyncio.create_task(server.serial_manager_task())
+        await asyncio.sleep(0.15)
+        st = server.controller_status()
+        server.stop()
+        task.cancel()
+        try:
+            await task
+        except (asyncio.CancelledError, Exception):
+            pass
+        assert st["connected"] is True
+        assert st["encoders"]["channels"]["A"]["deviceId"] == "enc-time"
+        assert st["encoders"]["channels"]["B"]["deviceId"] == "enc-pitch"
+
+    asyncio.run(scenario())
+
+
 def test_serial_digest_logging(caplog):
     """Digest mode logs per-key message-count deltas (reference serial log
     modes, server-multi.py:163-168, 774-804)."""
