@@ -288,17 +288,35 @@ class ControlServer:
             )
 
     # ----------------------------------------------------------------- run
+    async def _supervise(self, factory, name: str) -> None:
+        """Keep a task alive: log crashes and restart after a short pause
+        (the in-process analog of the reference deployment's
+        Restart=on-failure systemd policy)."""
+        while not self._stop.is_set():
+            try:
+                await factory()
+                return  # clean exit
+            except asyncio.CancelledError:
+                raise
+            except Exception:
+                log.exception("task %s crashed; restarting in 1s", name)
+                try:
+                    await asyncio.wait_for(self._stop.wait(), timeout=1.0)
+                    return
+                except asyncio.TimeoutError:
+                    pass
+
     async def run(self) -> None:
         import websockets
 
         async with websockets.serve(self.ws_handler, self.ws_host, self.ws_port):
             log.info("serving ws://%s:%d (slots=%s)", self.ws_host, self.ws_port, self.engine_slots)
             await asyncio.gather(
-                self.serial_manager_task(),
-                self.machine_status_task(),
-                self.encoder_status_task(),
-                self.heartbeat_task(),
-                self.render_loop_task(),
+                self._supervise(self.serial_manager_task, "serial"),
+                self._supervise(self.machine_status_task, "machine-status"),
+                self._supervise(self.encoder_status_task, "encoder-status"),
+                self._supervise(self.heartbeat_task, "heartbeat"),
+                self._supervise(self.render_loop_task, "render-loop"),
             )
 
     def stop(self) -> None:

@@ -164,6 +164,30 @@ def test_pool_input_time_tracks_rate():
     assert t == pytest.approx(pool.output_time * 0.5, abs=0.02)
 
 
+def test_task_supervision_restarts_crashed_task():
+    async def scenario():
+        server = ControlServer(engine_slots=["A"])
+        calls = []
+
+        async def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise RuntimeError("boom")
+            server.stop()
+
+        # patch the restart pause to keep the test fast
+        orig_wait = server._stop.wait
+        task = asyncio.create_task(server._supervise(flaky, "flaky"))
+        for _ in range(100):
+            if task.done():
+                break
+            await asyncio.sleep(0.05)
+        assert len(calls) == 3  # crashed twice, restarted, then clean exit
+        await task
+
+    asyncio.run(scenario())
+
+
 def test_controller_status_topology_decoration():
     """The topology SSOT decorates per-channel encoder deviceIds
     (reference: server-multi.py:26-31, 643-649)."""
