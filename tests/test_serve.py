@@ -175,8 +175,6 @@ def test_task_supervision_restarts_crashed_task():
                 raise RuntimeError("boom")
             server.stop()
 
-        # patch the restart pause to keep the test fast
-        orig_wait = server._stop.wait
         task = asyncio.create_task(server._supervise(flaky, "flaky"))
         for _ in range(100):
             if task.done():
