@@ -306,10 +306,54 @@ class ControlServer:
                 except asyncio.TimeoutError:
                     pass
 
+    # --------------------------------------------------------- http surface
+    def _process_request(self, connection, request):
+        """Serve a status page / JSON on the WS port for plain HTTP GETs —
+        the headless stand-in for the reference UI's status bar
+        (app/multi/index.html:46-55: server version, machine, ws + msg/s)."""
+        import http
+
+        if request.headers.get("Upgrade", "").lower() == "websocket":
+            return None  # proceed with the WS handshake
+        if request.path == "/status":
+            body = json.dumps(
+                {
+                    "server": protocol.server_version_msg(),
+                    "machine": protocol.machine_status_msg(),
+                    "controller": self.controller_status(),
+                    "clients": len(self.clients),
+                    "pool": self.pool.metrics() if self.pool is not None else None,
+                }
+            )
+            return connection.respond(http.HTTPStatus.OK, body + "\n")
+        if request.path == "/":
+            ver = protocol.server_version_msg()["version"]
+            html = (
+                "<!doctype html><meta charset='utf-8'>"
+                "<title>bauklank_tpu</title>"
+                "<style>body{font:14px monospace;background:#111;color:#ddd;"
+                "padding:2em}</style>"
+                f"<h2>bauklank_tpu control plane</h2><p>version {ver}</p>"
+                "<pre id=s>loading…</pre>"
+                "<script>const s=document.getElementById('s');"
+                "async function tick(){const r=await fetch('/status');"
+                "s.textContent=JSON.stringify(await r.json(),null,2);}"
+                "tick();setInterval(tick,2000);"
+                "const ws=new WebSocket(`ws://${location.host}`);"
+                "ws.onmessage=e=>console.log(e.data);</script>"
+            )
+            response = connection.respond(http.HTTPStatus.OK, html)
+            response.headers["Content-Type"] = "text/html; charset=utf-8"
+            return response
+        return connection.respond(http.HTTPStatus.NOT_FOUND, "not found\n")
+
     async def run(self) -> None:
         import websockets
 
-        async with websockets.serve(self.ws_handler, self.ws_host, self.ws_port):
+        async with websockets.serve(
+            self.ws_handler, self.ws_host, self.ws_port,
+            process_request=self._process_request,
+        ):
             log.info("serving ws://%s:%d (slots=%s)", self.ws_host, self.ws_port, self.engine_slots)
             await asyncio.gather(
                 self._supervise(self.serial_manager_task, "serial"),

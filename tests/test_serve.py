@@ -164,6 +164,55 @@ def test_pool_input_time_tracks_rate():
     assert t == pytest.approx(pool.output_time * 0.5, abs=0.02)
 
 
+def test_http_status_surface():
+    """Plain HTTP on the WS port: '/' serves the status page, '/status'
+    serves JSON, WS upgrades still work (the reference UI's status-bar
+    facts, headless)."""
+    import urllib.request
+
+    import websockets
+
+    async def scenario():
+        port = _free_port()
+        server = ControlServer(pool=_pool(), engine_slots=["A", "B"],
+                               ws_host="127.0.0.1", ws_port=port)
+        task = asyncio.create_task(server.run())
+        await asyncio.sleep(0.3)
+        try:
+            def get(path):
+                return urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=5)
+
+            status = await asyncio.to_thread(get, "/status")
+            payload = json.loads(status.read())
+            assert payload["server"]["type"] == "serverVersion"
+            assert payload["controller"]["connected"] is False
+            assert payload["pool"] is not None
+
+            page = await asyncio.to_thread(get, "/")
+            body = page.read().decode()
+            assert "bauklank_tpu control plane" in body
+
+            try:
+                await asyncio.to_thread(get, "/nope")
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+
+            # the websocket upgrade still works on the same port
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                m = json.loads(await asyncio.wait_for(ws.recv(), 3))
+                assert m["type"] == "serverVersion"
+        finally:
+            server.stop()
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
+
+    asyncio.run(scenario())
+
+
 def test_task_supervision_restarts_crashed_task():
     async def scenario():
         server = ControlServer(engine_slots=["A"])
