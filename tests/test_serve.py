@@ -164,6 +164,87 @@ def test_pool_input_time_tracks_rate():
     assert t == pytest.approx(pool.output_time * 0.5, abs=0.02)
 
 
+def test_soak_control_churn():
+    """~8s soak: encoder spam + client joins/leaves + garbage + pool stepping
+    concurrently; server must stay consistent and keep routing."""
+    import random
+
+    import websockets
+
+    async def scenario():
+        rng = random.Random(7)
+        port = _free_port()
+        pool = _pool()
+        pool.load_track("A", [tone(440.0, int(SR), SR)] * 2)
+        pool.start("A", when=0.0, offset=0.0, rate=1.0)
+        server = ControlServer(pool=pool, engine_slots=["A", "B"],
+                               ws_host="127.0.0.1", ws_port=port)
+        fc = FakeController("enc-soak")
+        server.add_transport(fc)
+        task = asyncio.create_task(server.run())
+        await asyncio.sleep(0.2)
+
+        received = [0]
+
+        async def client_life():
+            try:
+                async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                    await ws.send(json.dumps({"type": "hello", "engineSlots": ["A"]}))
+                    end = asyncio.get_event_loop().time() + rng.uniform(0.3, 1.5)
+                    while asyncio.get_event_loop().time() < end:
+                        try:
+                            json.loads(await asyncio.wait_for(ws.recv(), 0.5))
+                            received[0] += 1
+                        except asyncio.TimeoutError:
+                            pass
+                        if rng.random() < 0.2:
+                            await ws.send(json.dumps({
+                                "type": "set", "channel": rng.choice(["A", "B"]),
+                                "key": rng.choice(["rate", "tone", "volume", "pan"]),
+                                "value": rng.uniform(-5, 5),
+                            }))
+            except Exception:
+                pass
+
+        async def churn():
+            end = asyncio.get_event_loop().time() + 8.0
+            while asyncio.get_event_loop().time() < end:
+                fc.turn(rng.choice(["A", "B", "C"]), rng.choice(["rate", "tone", "volume"]),
+                        rng.uniform(-10, 10))
+                if rng.random() < 0.1:
+                    fc.send_garbage()
+                if rng.random() < 0.3:
+                    pool.step()
+                await asyncio.sleep(0.02)
+
+        clients = [asyncio.create_task(client_life()) for _ in range(3)]
+
+        async def respawn():
+            end = asyncio.get_event_loop().time() + 8.0
+            while asyncio.get_event_loop().time() < end:
+                await asyncio.sleep(0.5)
+                clients.append(asyncio.create_task(client_life()))
+
+        await asyncio.gather(churn(), respawn())
+        await asyncio.gather(*clients, return_exceptions=True)
+
+        assert received[0] > 50, received  # traffic flowed throughout
+        # control state stayed sane (clamps respected)
+        seg = pool.slots[0].timemap.segments[-1]
+        assert 1e-5 <= seg.rate <= 2.0
+        assert -48.0 <= seg.semitones <= 48.0
+        assert np.isfinite(np.asarray(pool.step()[0])).all()
+
+        server.stop()
+        task.cancel()
+        try:
+            await task
+        except (asyncio.CancelledError, Exception):
+            pass
+
+    asyncio.run(scenario())
+
+
 def test_http_status_surface():
     """Plain HTTP on the WS port: '/' serves the status page, '/status'
     serves JSON, WS upgrades still work (the reference UI's status-bar
