@@ -111,6 +111,31 @@ def test_stretch_output_energy_stable():
     assert 0.5 < out_rms / in_rms < 2.0, (in_rms, out_rms)
 
 
+def test_stereo_phase_coherence_preserved():
+    """Inter-channel phase relationships survive stretching: one shared
+    rotation per band rotates both channels identically, so a 90-degree L/R
+    offset stays 90 degrees (the reference preserves stereo imaging the
+    same way via common spectral processing)."""
+    cfg = StretchConfig(channels=2, block=1792, interval=448, formants=False)
+    f = 441.0  # near a band center
+    n = int(2 * SR)
+    t = np.arange(n) / SR
+    left = np.sin(2 * np.pi * f / SR * np.arange(n)).astype(np.float32)
+    right = np.sin(2 * np.pi * f / SR * np.arange(n) + np.pi / 2).astype(np.float32)
+    x = np.stack([left, right])
+    y = stretch_offline(x, 0.5, cfg, n_out=int(1.5 * SR),
+                        params=StretchParams.make(rate=0.5, sample_rate=SR))
+    seg = y[:, cfg.block * 3 : cfg.block * 3 + 16384]
+    # cross-channel phase at the tone via the analytic cross-spectrum
+    specs = np.fft.rfft(seg * np.hanning(seg.shape[1]), axis=1)
+    k = int(np.argmax(np.abs(specs[0])))
+    dphi = np.angle(specs[1, k] * np.conj(specs[0, k]))
+    assert abs(dphi - np.pi / 2) < 0.15, dphi
+    # and both channels kept their energy ratio
+    r = np.sqrt((seg[1] ** 2).mean() / (seg[0] ** 2).mean())
+    assert 0.8 < r < 1.25, r
+
+
 def test_chunked_equals_single_dispatch():
     """Streaming in small chunks must produce the same samples as one big
     chunk (state carry correctness)."""
