@@ -65,6 +65,9 @@ class LivePool:
         c = self.config.channels
         self._in_fifo = [np.zeros((c, 0), np.float32) for _ in range(capacity)]
         self.out_pos = 0
+        from bauklank_tpu.utils.metrics import StepTimer
+
+        self.timer = StepTimer(sample_rate)
 
     def feed(self, slot: str, chunk) -> None:
         """Queue live input samples for one stream ([C, n] or [n])."""
@@ -77,10 +80,33 @@ class LivePool:
     def schedule(self, slot: str, obj: dict) -> None:
         self.timemaps[self._by_name[slot]].schedule(obj)
 
+    def apply_set(self, slot: str, key: str, value, lookahead: float = 0.1) -> bool:
+        """Control routing compatible with StreamPool.apply_set (the server's
+        ``set`` path); live voices have no rate/volume/pan (input-coupled,
+        raw per-stream output) — those keys are acknowledged but ignored."""
+        if slot not in self._by_name:
+            return False
+        if key in ("rate", "volume", "volumePercent", "pan"):
+            return True
+        from bauklank_tpu.serve.pool import CONTROL_CLAMPS, _TIMEMAP_KEYS
+
+        if key not in _TIMEMAP_KEYS:
+            return False
+        lo, hi = CONTROL_CLAMPS.get("semitones" if key == "tone" else key, (None, None))
+        if lo is not None:
+            value = float(np.clip(float(value), lo, hi))
+        out_t = self.out_pos / self.sample_rate + self.config.output_latency / self.sample_rate
+        self.timemaps[self._by_name[slot]].schedule({key: value, "output": out_t + lookahead})
+        return True
+
+    def metrics(self) -> dict:
+        return self.timer.snapshot()
+
     def step(self) -> np.ndarray:
         """Process hops_per_step intervals for every stream
         -> [S, C, hops_per_step * interval]."""
         cfg = self.config
+        self.timer.start()
         n = cfg.interval * self.hops_per_step
         c = cfg.channels
         chunks = np.zeros((self.capacity, c, n), np.float32)
@@ -107,4 +133,6 @@ class LivePool:
             self.config, self.states, jnp.asarray(chunks), jnp.asarray(packed)
         )
         self.out_pos += n
-        return np.asarray(out)
+        result = np.asarray(out)
+        self.timer.tick(self.capacity * n)
+        return result

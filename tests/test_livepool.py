@@ -33,6 +33,22 @@ def test_livepool_per_stream_shifts_and_underrun():
     assert np.sqrt((seg_a**2).mean()) > 0.2
 
 
+def test_livepool_control_plane_interface():
+    cfg = StretchConfig(channels=1, block=512, interval=128, formants=False)
+    pool = LivePool(capacity=2, sample_rate=SR, channels=1, config=cfg, names=["a", "b"])
+    assert pool.apply_set("a", "tone", -100)  # clamped
+    assert pool.timemaps[0].segments[-1].semitones == -48.0
+    assert pool.apply_set("a", "tonalityHz", 12000)
+    assert pool.apply_set("a", "volume", 50)   # acknowledged no-op for live
+    assert not pool.apply_set("zz", "tone", 1)
+    assert not pool.apply_set("a", "bogus", 1)
+    pool.schedule("a", {"output": 0.0, "active": True})
+    pool.feed("a", np.zeros(512, np.float32))
+    pool.step()
+    m = pool.metrics()
+    assert m["steps"] == 1 and m["p50_ms"] >= 0
+
+
 def test_livepool_multi_hop_steps_match_single():
     cfg = StretchConfig(channels=1, block=512, interval=128, formants=False)
     x = tone(550.0, 8192, SR)
