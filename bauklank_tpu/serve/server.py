@@ -74,7 +74,15 @@ class ControlServer:
         render_ahead_sec: float = 0.25,
         serial_log: str = "digest",  # "full" | "digest" (reference :163-168)
         topology=None,
+        serial_exclude: Iterable[str] = (),
+        scan_hardware: bool = True,
     ) -> None:
+        # hardware scan: when no in-memory transports are registered and
+        # pyserial is available, candidate ports are probed every scan tick
+        # (reference: server-multi.py:581-583, 888-915 with
+        # SERIAL_PORT_EXCLUDE at :90-93)
+        self.serial_exclude = set(serial_exclude)
+        self.scan_hardware = scan_hardware
         self.serial_log = serial_log
         self._digest_last = 0.0
         self._digest_base: dict[str, int] = {}
@@ -192,11 +200,25 @@ class ControlServer:
         self._digest_last = now
 
     # --------------------------------------------------------------- tasks
+    def _candidate_transports(self) -> list:
+        """Registered in-memory transports plus freshly-opened hardware
+        ports (pyserial-gated)."""
+        candidates = list(self._transports)
+        if self.scan_hardware and not candidates:
+            from bauklank_tpu.serve.serial import list_pyserial_ports, open_pyserial
+
+            for port in list_pyserial_ports(exclude=self.serial_exclude):
+                try:
+                    candidates.append(open_pyserial(port))
+                except Exception:
+                    log.debug("🧪 could not open %s", port)
+        return candidates
+
     async def serial_manager_task(self) -> None:
         """Probe/attach loop (reference :888-915) + line pump."""
         while not self._stop.is_set():
             if self.session is None:
-                for t in list(self._transports):
+                for t in self._candidate_transports():
                     log.debug("🧪 probing %r", t)
                     hello = probe_transport(t)
                     if hello:

@@ -164,6 +164,46 @@ def test_pool_input_time_tracks_rate():
     assert t == pytest.approx(pool.output_time * 0.5, abs=0.02)
 
 
+def test_hardware_scan_path(monkeypatch):
+    """The scan loop probes pyserial-discovered ports (faked here) and
+    respects the exclude list (reference SERIAL_PORT_EXCLUDE)."""
+    from bauklank_tpu.serve import serial as ser_mod
+
+    async def scenario():
+        opened = []
+        devices = {"/dev/ttyUSB0": FakeController("hw-enc"),
+                   "/dev/ttyEXCL": FakeController("nope")}
+
+        monkeypatch.setattr(
+            ser_mod, "list_pyserial_ports",
+            lambda exclude=(): [p for p in devices if p not in set(exclude)],
+        )
+
+        def fake_open(port, baud=115200, timeout=0.5):
+            opened.append(port)
+            return devices[port]
+
+        monkeypatch.setattr(ser_mod, "open_pyserial", fake_open)
+
+        server = ControlServer(engine_slots=["A"], serial_exclude=["/dev/ttyEXCL"])
+        task = asyncio.create_task(server.serial_manager_task())
+        for _ in range(60):
+            if server.session is not None:
+                break
+            await asyncio.sleep(0.05)
+        assert server.session is not None
+        assert server.session.hello["deviceId"] == "hw-enc"
+        assert "/dev/ttyEXCL" not in opened
+        server.stop()
+        task.cancel()
+        try:
+            await task
+        except (asyncio.CancelledError, Exception):
+            pass
+
+    asyncio.run(scenario())
+
+
 def test_soak_control_churn():
     """~8s soak: encoder spam + client joins/leaves + garbage + pool stepping
     concurrently; server must stay consistent and keep routing."""
