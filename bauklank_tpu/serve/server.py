@@ -399,6 +399,10 @@ def _parse_args(argv=None):
     ap.add_argument("--startup-log-level", default="info")
     ap.add_argument("--run-log-level", default="info")
     ap.add_argument("--serial-log", default="digest", choices=("full", "digest"))
+    ap.add_argument("--serial-exclude", action="append", default=[],
+                    help="serial ports to skip during scans (repeatable)")
+    ap.add_argument("--no-serial-scan", action="store_true",
+                    help="disable hardware port scanning")
     ap.add_argument("--pool-capacity", type=int, default=0,
                     help="batched voice slots; 0 = control-plane only")
     return ap.parse_args(argv)
@@ -413,7 +417,9 @@ def main(argv=None) -> None:
         pool = StreamPool(capacity=args.pool_capacity, names=slots[: args.pool_capacity])
     server = ControlServer(pool=pool, engine_slots=slots,
                            ws_host=args.ws_host, ws_port=args.ws_port,
-                           serial_log=args.serial_log)
+                           serial_log=args.serial_log,
+                           serial_exclude=args.serial_exclude,
+                           scan_hardware=not args.no_serial_scan)
     _setup_logging(args.run_log_level)
     asyncio.run(server.run())
 
