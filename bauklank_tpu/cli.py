@@ -67,8 +67,13 @@ def _cmd_serve(args) -> int:
         "--ws-port", str(args.ws_port),
         "--startup-log-level", args.startup_log_level,
         "--run-log-level", args.run_log_level,
+        "--serial-log", args.serial_log,
         "--pool-capacity", str(args.pool_capacity),
     ]
+    for port in args.serial_exclude:
+        argv += ["--serial-exclude", port]
+    if args.no_serial_scan:
+        argv.append("--no-serial-scan")
     serve_main(argv)
     return 0
 
@@ -121,6 +126,9 @@ def main(argv=None) -> int:
     sv.add_argument("--ws-port", type=int, default=8765)
     sv.add_argument("--startup-log-level", default="info")
     sv.add_argument("--run-log-level", default="info")
+    sv.add_argument("--serial-log", default="digest", choices=("full", "digest"))
+    sv.add_argument("--serial-exclude", action="append", default=[])
+    sv.add_argument("--no-serial-scan", action="store_true")
     sv.add_argument("--pool-capacity", type=int, default=0)
     sv.set_defaults(fn=_cmd_serve)
 
