@@ -2,6 +2,14 @@
 bridge.  Speaks the reference's wire protocols (SURVEY.md §2.3-2.4)."""
 
 from bauklank_tpu.serve.pool import StreamPool, VoiceSlot
+from bauklank_tpu.serve.livepool import LivePool
 from bauklank_tpu.serve.slots import SlotAllocator
 
-__all__ = ["StreamPool", "VoiceSlot", "SlotAllocator"]
+__all__ = [
+    "StreamPool",
+    "LivePool",
+    "VoiceSlot",
+    "SlotAllocator",
+    # imported lazily to avoid pulling websockets unless used:
+    # serve.server.ControlServer, serve.client.ControlClient
+]
