@@ -41,6 +41,11 @@ class StretchConfig:
     interval: int = 2205
     split_computation: bool = True
     formants: bool = True
+    # Kaiser beta override for the analysis window (None = the overlap
+    # heuristic in ops.windows.kaiser_beta_for_overlap).  The calibration
+    # dial for matching the reference blob's window empirically
+    # (docs/FIDELITY-PLAN.md step 2).
+    window_beta: float | None = None
     # Per-band phase re-anchoring on onsets: when a band's energy jumps by
     # more than this many dB between the previous-interval analysis and the
     # current one, its output phase restarts from the input phase (re-anchors

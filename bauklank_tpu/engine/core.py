@@ -85,19 +85,19 @@ def _init_state_jit(config: StretchConfig) -> StretchState:
 
 
 @functools.lru_cache(maxsize=32)
-def _window_consts(block: int, interval: int):
+def _window_consts(block: int, interval: int, beta: float | None = None):
     # numpy (not jnp): jnp.asarray inside a jit trace returns a Tracer, which
     # must not be cached across traces.  numpy constants embed as literals.
-    wa, ws = windows.pr_window_pair(block, interval)
+    wa, ws = windows.pr_window_pair(block, interval, beta=beta)
     freqs = mdft.band_freqs(block)
     return wa, ws, freqs
 
 
 @functools.lru_cache(maxsize=32)
-def _lobe_alpha(block: int, interval: int) -> float:
+def _lobe_alpha(block: int, interval: int, beta: float | None = None) -> float:
     """Gaussian model of the analysis window's spectral main lobe:
     |G(x bins)| ~= exp(-alpha x^2), calibrated at x = 1 bin."""
-    wa, _ = windows.pr_window_pair(block, interval)
+    wa, _ = windows.pr_window_pair(block, interval, beta=beta)
     n = np.arange(block)
     center = (block - 1) / 2.0
     g0 = np.abs(np.sum(wa))
@@ -149,7 +149,7 @@ def process_chunk(
     Returns ``(new_state, out)`` with ``out`` float32 [C, H*interval].
     """
     block, interval = config.block, config.interval
-    _, ws, _ = _window_consts(block, interval)
+    _, ws, _ = _window_consts(block, interval, config.window_beta)
     h = frame_ends.shape[0]
 
     v, cur_m, gain, reset = hop_factors(config, audio, frame_ends, params, state.prev_cur)
@@ -189,7 +189,7 @@ def hop_factors(
     global prefix product with collectives.
     """
     block, interval = config.block, config.interval
-    wa, _, band_f = _window_consts(block, interval)
+    wa, _, band_f = _window_consts(block, interval, config.window_beta)
     h = frame_ends.shape[0]
 
     # --- batched analysis: cur frames and prev (one interval earlier) ------
@@ -258,7 +258,7 @@ def hop_factors(
     # cancellation of frame-rate aliases — measured -21 dB -> -45 dB
     # sidebands at +12 st, overlap ~4, for < 1 dB broadband cost.
     # grad == 1 (no shift / above the tonality limit) => exactly 1.
-    alpha = jnp.float32(_lobe_alpha(block, interval))
+    alpha = jnp.float32(_lobe_alpha(block, interval, config.window_beta))
     delta = dev * jnp.float32(block / (2.0 * np.pi * interval))  # input bins
     gain = jnp.clip(
         jnp.exp(-alpha * (jnp.square(grad) - 1.0) * jnp.square(delta)), 0.05, 4.0

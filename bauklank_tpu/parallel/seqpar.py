@@ -46,7 +46,7 @@ def stream_seq_mesh(n_stream: int, n_seq: int, devices=None) -> Mesh:
 
 def _sharded_render(config: StretchConfig, mesh: Mesh, n_seq: int):
     block, interval = config.block, config.interval
-    _, ws, _ = _window_consts(block, interval)
+    _, ws, _ = _window_consts(block, interval, config.window_beta)
 
     def local(audio, ends_ext, params):
         # audio [S_l, C, T]; ends_ext [S_l, 1, H_l+1]; params leaves [S_l]

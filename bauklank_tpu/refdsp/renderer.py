@@ -119,7 +119,7 @@ def render_offline(
     b, i = config.block, config.interval
     c = audio.shape[0]
     bins = b // 2
-    wa, ws = pr_window_pair(b, i)
+    wa, ws = pr_window_pair(b, i, beta=config.window_beta)
     wa = wa.astype(np.float64)
     ws = ws.astype(np.float64)
 

@@ -57,6 +57,19 @@ def test_engine_matches_scalar_renderer(rate, semitones, formants):
     assert s > 45.0, (rate, semitones, formants, s)
 
 
+def test_engine_matches_renderer_custom_window_beta():
+    """window_beta (the round-2 calibration dial) threads identically
+    through the engine and the scalar spec."""
+    cfg = StretchConfig(channels=1, block=1024, interval=256, formants=False,
+                        window_beta=6.5)
+    x = _material()
+    got = stretch_offline(x, 0.75, cfg, n_out=12288,
+                          params=StretchParams.make(rate=0.75, sample_rate=SR))
+    want = render_offline(x.astype(np.float64), 0.75, cfg, 12288)
+    s = snr_db(want[:, cfg.block :], got[:, cfg.block :])
+    assert s > 45.0, s
+
+
 def test_engine_matches_renderer_stereo_formant_controls():
     cfg = StretchConfig(channels=2, block=1024, interval=256, formants=True)
     x = np.stack([_material()[0], _material()[0] * 0.5])
