@@ -8,7 +8,7 @@ is two browser worklets.  Scale-out here is over a ``jax.sharding.Mesh``:
 - ``seq``: optional intra-stream sequence (hop) parallelism for very long
   offline renders — hops of one stream are spread over chips; the carried
   rotation product and the OLA boundary cross chips, handled in
-  :func:`bauklank_tpu.parallel.seqpar.stretch_sharded_hops` with XLA
+  :func:`bauklank_tpu.parallel.seqpar.stretch_offline_sharded` with XLA
   collectives.
 
 Shardings are expressed with NamedSharding so the same jitted step runs on

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Any
 
 import jax
@@ -46,6 +47,11 @@ CONTROL_CLAMPS = {
 _TIMEMAP_KEYS = {
     "active", "rate", "semitones", "tone", "tonalityHz", "formantSemitones",
     "formantCompensation", "formantBaseHz", "loopStart", "loopEnd",
+}
+
+# keys whose values must be finite numbers (everything except the booleans)
+_NUMERIC_KEYS = (_TIMEMAP_KEYS | {"volume", "volumePercent", "pan"}) - {
+    "active", "formantCompensation",
 }
 
 
@@ -112,6 +118,13 @@ class StreamPool:
         self.capacity = capacity
         self.hops_per_step = hops_per_step
         self.max_track = int(max_track_sec * sample_rate)
+        # frame-end sample indices ride the packed float32 h2d array; float32
+        # is integer-exact only below 2**24 (~380 s at 44.1 kHz)
+        if self.max_track + self.config.block >= 2**24:
+            raise ValueError(
+                f"max_track_sec={max_track_sec} exceeds float32-exact frame "
+                f"positioning (track + block must stay < 2**24 samples)"
+            )
         self.slots = [VoiceSlot(names[i] if names else f"s{i:02d}") for i in range(capacity)]
         self._by_name = {s.name: i for i, s in enumerate(self.slots)}
         self._audio_host = np.zeros((capacity, channels, self.max_track), np.float32)
@@ -156,25 +169,37 @@ class StreamPool:
     def apply_set(self, slot: str, key: str, value: Any, lookahead: float = SCHEDULE_LOOKAHEAD_SEC) -> bool:
         """Route one control change (the §2.3 ``set`` message) to a voice.
 
-        Returns False for unknown slots/keys (logged by the server layer).
+        Returns False for unknown slots/keys or malformed values (logged by
+        the server layer).  Values arrive from unauthenticated WS/serial
+        JSON, where NaN/Infinity tokens and nulls are representable — one
+        NaN rate would permanently poison the time map and crash-loop every
+        subsequent pool step, so non-finite and non-numeric values are
+        rejected here rather than clamped.
         """
         if slot not in self._by_name:
             return False
         i = self._by_name[slot]
         s = self.slots[i]
+        if key in _NUMERIC_KEYS:
+            try:
+                value = float(value)
+            except (TypeError, ValueError):
+                return False
+            if not math.isfinite(value):
+                return False
         if key in ("volume", "volumePercent"):
-            v = float(value) / (100.0 if key == "volumePercent" else 1.0)
+            v = value / (100.0 if key == "volumePercent" else 1.0)
             s.volume = float(np.clip(v, 0.0, 1.0))
             return True
         if key == "pan":
-            s.pan = float(np.clip(float(value), -1.0, 1.0))
+            s.pan = float(np.clip(value, -1.0, 1.0))
             return True
         if key not in _TIMEMAP_KEYS:
             return False
         if key in CONTROL_CLAMPS or (key == "tone"):
             lo, hi = CONTROL_CLAMPS.get("semitones" if key == "tone" else key, (None, None))
             if lo is not None:
-                value = float(np.clip(float(value), lo, hi))
+                value = float(np.clip(value, lo, hi))
         s.timemap.schedule({key: value, "output": self.output_time + lookahead})
         return True
 

@@ -30,6 +30,7 @@ import argparse
 import asyncio
 import json
 import logging
+import math
 import time
 from typing import Iterable
 
@@ -107,6 +108,7 @@ class ControlServer:
         self._transports = list(transports or [])
         self._last_controller_status: dict | None = None
         self._msg_count = 0
+        self._inflight: set = set()
         self._stop = asyncio.Event()
 
     # ------------------------------------------------------------ transport
@@ -120,7 +122,9 @@ class ControlServer:
     async def broadcast(self, msg: dict) -> None:
         dead = []
         data = json.dumps(msg)
-        for ws in self.clients:
+        # snapshot: clients connecting/reaping during the awaits would
+        # mutate the live set mid-iteration
+        for ws in list(self.clients):
             try:
                 await ws.send(data)
             except Exception:
@@ -169,6 +173,11 @@ class ControlServer:
         value = msg.get("value")
         if channel not in self.engine_slots or not isinstance(key, str):
             return
+        # json.loads accepts NaN/Infinity tokens; don't re-broadcast them
+        # (json.dumps would emit invalid JSON for strict client parsers)
+        if isinstance(value, float) and not math.isfinite(value):
+            log.warning("📟 dropping non-finite set %s=%r on %s", key, value, channel)
+            return
         if self.pool is not None:
             pool_key = {"tone": "semitones", "volume": "volumePercent"}.get(key, key)
             self.pool.apply_set(channel, pool_key, value)
@@ -176,10 +185,14 @@ class ControlServer:
         await self.broadcast(out)
 
     def _forward_from_serial(self, msg: dict) -> None:
-        # called synchronously from the pump; schedule async fan-out
+        # called synchronously from the pump; schedule async fan-out.
+        # Hold a reference until done: the loop keeps only weak refs, so a
+        # fire-and-forget task can be GC'd mid-flight under load.
         if self.serial_log == "full":
             log.info("📟 %s", msg)
-        asyncio.get_running_loop().create_task(self._handle_set(msg))
+        task = asyncio.get_running_loop().create_task(self._handle_set(msg))
+        self._inflight.add(task)
+        task.add_done_callback(self._inflight.discard)
 
     def _log_serial_digest(self) -> None:
         """Per-key message-count deltas, the reference's digest mode

@@ -131,6 +131,25 @@ def test_pool_apply_set_clamps_and_routes():
     assert not pool.apply_set("A", "bogus", 1.0)  # unknown key
 
 
+def test_pool_apply_set_rejects_malformed_values():
+    """Unauthenticated WS JSON can carry NaN/Infinity tokens and nulls; one
+    NaN rate would poison the time map and crash-loop the render task."""
+    pool = _pool()
+    before = list(pool.slots[0].timemap.segments)
+    assert not pool.apply_set("A", "rate", float("nan"))
+    assert not pool.apply_set("A", "rate", float("inf"))
+    assert not pool.apply_set("A", "rate", None)       # JS JSON.stringify(NaN) -> null
+    assert not pool.apply_set("A", "rate", "fast")
+    assert not pool.apply_set("A", "volume", float("nan"))
+    assert not pool.apply_set("A", "pan", {"x": 1})
+    assert pool.slots[0].timemap.segments == before
+    assert pool.slots[0].volume == 0.1 and pool.slots[0].pan == 0.0
+    # string numbers still work (serial values arrive as JSON numbers, but
+    # be liberal in what float() accepts)
+    assert pool.apply_set("A", "rate", "0.5")
+    assert pool.slots[0].timemap.segments[-1].rate == 0.5
+
+
 def test_pool_step_renders_and_mixes():
     pool = _pool()
     x = tone(440.0, int(SR), SR)

@@ -55,6 +55,14 @@ def main(argv=None) -> int:
         spec = np.abs(np.fft.rfft(seg * w))
         freqs = np.fft.rfftfreq(len(seg), 1 / sr)
         k = int(np.argmax(spec))
+        # parabolic interpolation on log magnitude: the raw peak bin is
+        # ~21 cents wide at 440 Hz for an 8192-point FFT, far coarser than
+        # the sub-cent detune being measured
+        if 0 < k < len(spec) - 1:
+            la, lb, lc = np.log(np.maximum(spec[k - 1 : k + 2], 1e-30))
+            denom = la - 2 * lb + lc
+            delta = 0.5 * (la - lc) / denom if abs(denom) > 1e-12 else 0.0
+            return (k + float(np.clip(delta, -0.5, 0.5))) * (freqs[1] - freqs[0]), spec, freqs
         return freqs[k], spec, freqs
 
     matrix = [(r, s) for r in (0.5, 1.0, 2.0) for s in (-12, 0, 12)]
