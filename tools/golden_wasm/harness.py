@@ -1,14 +1,16 @@
 """Golden-render harness against the reference WASM engine.
 
 SURVEY.md §4 prescribes golden-output tests driven from the exact reference
-WASM blob.  This harness runs tools/golden_wasm/driver.mjs under Node
-(faking the worklet scope so the reference registers its processor
-headlessly) and compares this framework's render at matched settings.
+WASM blob.  Two execution paths, preferred in order:
 
-Gated: requires a ``node`` executable and the reference checkout; both are
-absent in some sandboxes (this build image has neither), in which case
-``available()`` is False and the golden tests skip.  Run on a machine with
-node:  python tools/golden_wasm/harness.py --rate 0.5 --semitones 0
+1. **native** (tools/golden_wasm/native.py): the blob is AOT-translated to
+   C by wasm2c.py, compiled with gcc, and driven by a Python re-statement
+   of the worklet hot loop.  Needs only a C compiler — works in this image.
+2. **node** (tools/golden_wasm/driver.mjs): fakes the worklet scope under
+   Node and drives the original JS glue.  Used where node exists, and as a
+   cross-check of the native translation.
+
+Run:  python tools/golden_wasm/harness.py --rate 0.5 --semitones 0
 """
 
 from __future__ import annotations
@@ -25,7 +27,19 @@ REFERENCE = pathlib.Path("/root/reference/app/SignalsmithStretch.mjs")
 DRIVER = pathlib.Path(__file__).with_name("driver.mjs")
 
 
+def _native():
+    from golden_wasm import native
+
+    return native
+
+
 def available() -> bool:
+    if REFERENCE.exists():
+        try:
+            if _native().available():
+                return True
+        except Exception:
+            pass
     return shutil.which("node") is not None and REFERENCE.exists()
 
 
@@ -45,7 +59,20 @@ def render_reference(
 ) -> np.ndarray:
     """Render ``n_out`` samples through the reference WASM engine."""
     if not available():
-        raise RuntimeError("node or the reference checkout is unavailable")
+        raise RuntimeError("no WASM execution path (gcc/node) available")
+    try:
+        native = _native()
+        if native.available():
+            return native.render_reference(
+                audio, sample_rate, n_out, rate=rate, semitones=semitones,
+                tonality_hz=tonality_hz, formant_semitones=formant_semitones,
+                formant_compensation=formant_compensation,
+                formant_base_hz=formant_base_hz, block_ms=block_ms,
+                interval_ms=interval_ms, split_computation=split_computation,
+            )
+    except Exception:
+        if shutil.which("node") is None:
+            raise
     audio = np.ascontiguousarray(audio, np.float32)
     channels, frames = audio.shape
     with tempfile.TemporaryDirectory() as td:
