@@ -389,12 +389,47 @@ class FuncEmitter:
             self.lines.append("  " + s)
 
     def push(self, vt: str, expr: str) -> None:
+        """Push a *pure* expression lazily (folded into its consumer).
+
+        Purity caveats are handled by flush(): any side-effecting event
+        (store, call, local/global mutation, memory growth, control flow)
+        materializes all pending expressions first, so loads and
+        local/global reads can safely stay symbolic in between.
+        """
+        if self.dead:
+            return
+        self.stack.append((vt, expr))
+
+    def push_forced(self, vt: str, expr: str) -> None:
+        """Materialize immediately (for impure producers like calls)."""
         if self.dead:
             return
         v = f"t{self.tmp}"
         self.tmp += 1
         self.lines.append(f"  {CTYPE[vt]} {v} = {expr};")
         self.stack.append((vt, v))
+
+    _SIMPLE = None  # compiled regex cache
+
+    def flush(self) -> None:
+        """Materialize every pending stack expression into a temp, in order
+        (preserves evaluation order across side-effect boundaries)."""
+        if self.dead:
+            return
+        import re
+
+        if FuncEmitter._SIMPLE is None:
+            # only single-assignment names are stable across side effects:
+            # temps (t) and block-result vars (b). Locals (v) and globals
+            # (g) mutate, so pending reads of them must be copied out.
+            FuncEmitter._SIMPLE = re.compile(r"^[tb][0-9_]+$|^[0-9]+u(ll)?$")
+        for i, (vt, expr) in enumerate(self.stack):
+            if FuncEmitter._SIMPLE.match(expr):
+                continue  # already a var or literal
+            v = f"t{self.tmp}"
+            self.tmp += 1
+            self.lines.append(f"  {CTYPE[vt]} {v} = {expr};")
+            self.stack[i] = (vt, v)
 
     def pop(self) -> tuple[str, str]:
         if self.dead:
@@ -512,9 +547,11 @@ class FuncEmitter:
                 pass
             elif op in (0x02, 0x03):  # block / loop
                 params, results = self.block_type(r)
+                self.flush()
                 self.enter_frame("block" if op == 0x02 else "loop", params, results)
             elif op == 0x04:  # if
                 params, results = self.block_type(r)
+                self.flush()
                 cond = self.pop_v()
                 f = self.enter_frame("if", params, results)
                 if not self.dead:
@@ -597,11 +634,12 @@ class FuncEmitter:
             elif op == 0x10:  # call
                 fi = r.leb_u()
                 params, results = m.functype(fi)
+                self.flush()
                 args = [self.pop_v() for _ in params][::-1]
                 callee = self.c.fname(fi)
                 call = f"{callee}({', '.join(args)})"
                 if results:
-                    self.push(results[0], call)
+                    self.push_forced(results[0], call)
                 else:
                     self.out(call + ";")
             elif op == 0x11:  # call_indirect
@@ -609,6 +647,7 @@ class FuncEmitter:
                 tbl = r.u8()
                 assert tbl == 0
                 params, results = m.types[ti]
+                self.flush()
                 idx = self.pop_v()
                 args = [self.pop_v() for _ in params][::-1]
                 if not self.dead:
@@ -618,7 +657,7 @@ class FuncEmitter:
                     )
                     call = f"(({sig})TABLE[{idx}])({', '.join(args)})"
                     if results:
-                        self.push(results[0], call)
+                        self.push_forced(results[0], call)
                     else:
                         self.out(call + ";")
             elif op == 0x1A:  # drop
@@ -631,7 +670,7 @@ class FuncEmitter:
                 cond = self.pop_v()
                 vt2, b = self.pop()
                 vt1, a = self.pop()
-                self.push(vt1 if not self.dead else "i32", f"({cond}) ? {a} : {b}")
+                self.push(vt1 if not self.dead else "i32", f"(({cond}) ? ({a}) : ({b}))")
             elif op == 0x20:  # local.get
                 i = r.leb_u()
                 # materialize a copy: a later local.set must not mutate
@@ -639,11 +678,13 @@ class FuncEmitter:
                 self.push(self.local_types[i], f"v{i}")
             elif op == 0x21:  # local.set
                 i = r.leb_u()
+                self.flush()
                 v = self.pop_v()
                 self.out(f"v{i} = {v};")
             elif op == 0x22:  # local.tee
                 i = r.leb_u()
                 if not self.dead:
+                    self.flush()
                     vt, v = self.stack[-1]
                     self.out(f"v{i} = {v};")
                     # keep the temp (not v{i}) on the stack: v{i} may be
@@ -653,6 +694,7 @@ class FuncEmitter:
                 self.push(m.globals[i][0], f"g{i}")
             elif op == 0x24:  # global.set
                 i = r.leb_u()
+                self.flush()
                 v = self.pop_v()
                 self.out(f"g{i} = {v};")
             elif 0x28 <= op <= 0x3E:  # loads/stores
@@ -664,8 +706,9 @@ class FuncEmitter:
                 self.push("i32", "MEM_PAGES")
             elif op == 0x40:  # memory.grow
                 r.u8()
+                self.flush()
                 d = self.pop_v()
-                self.push("i32", f"mem_grow({d})")
+                self.push_forced("i32", f"mem_grow({d})")
             elif op == 0x41:
                 v = r.leb_s() & 0xFFFFFFFF
                 self.push("i32", f"{v}u")
@@ -732,6 +775,7 @@ class FuncEmitter:
             self.push(vt, f"{cast}LD({cty}, (uint64_t){base} + {offset}u)")
         else:
             cty, cast = stores[op]
+            self.flush()
             val = self.pop_v()
             base = self.pop_v()
             self.out(f"ST({cty}, (uint64_t){base} + {offset}u, {cast}{val});")
@@ -909,12 +953,14 @@ class FuncEmitter:
         elif sub == 10:  # memory.copy
             r.u8()
             r.u8()
+            self.flush()
             n = self.pop_v()
             src = self.pop_v()
             dst = self.pop_v()
             self.out(f"memmove(mptr({dst}, {n}), mptr({src}, {n}), {n});")
         elif sub == 11:  # memory.fill
             r.u8()
+            self.flush()
             n = self.pop_v()
             val = self.pop_v()
             dst = self.pop_v()
