@@ -1,0 +1,102 @@
+"""Hop-exactness of the Python reference model vs the actual WASM blob.
+
+Gated on the native wasm2c path (gcc + reference checkout).  These tests
+pin the reverse-engineered algorithm (docs/WASM-ALGO.md): if the model
+drifts from the blob, the JAX engine's fidelity mode has no anchor.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tools")
+from golden_wasm import harness  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not harness.available(), reason="no WASM execution path (gcc)"
+)
+
+
+def _drive(semitones, rate, n_hops=12, seed=5):
+    import ctypes
+
+    from golden_wasm.native import NativeStretch
+    from golden_wasm.pymodel import ModelConfig, SpectralModel, analyse, blob_window
+
+    cfg = ModelConfig(1, 512, 128)
+    B, F, I, WIN = cfg.bands, cfg.fft_size, cfg.interval, cfg.block
+    wa = blob_window(WIN, I)
+    rng = np.random.default_rng(seed)
+    sr = 44100.0
+    t = np.arange(44100) / sr
+    track = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1318.5 * t)
+        + 0.05 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+    tpad = np.concatenate([np.zeros(2 * WIN), track, np.zeros(2 * WIN)])
+
+    w = NativeStretch()
+    w._configure(1, 512, 128, 1)
+    w._setTransposeSemitones(semitones, 8000.0 / sr)
+    out_lat = w._outputLatency()
+    in_lat = w._inputLatency()
+    buf_len = in_lat + out_lat
+    ptr = w._setBuffers(1, buf_len)
+
+    def u32(a):
+        return int.from_bytes(
+            bytes((ctypes.c_uint8 * 4).from_address(w.lib.wasm_mem_ptr() + a)),
+            "little",
+        )
+
+    def f32(a):
+        import struct
+
+        return struct.unpack(
+            "<f", bytes((ctypes.c_uint8 * 4).from_address(w.lib.wasm_mem_ptr() + a))
+        )[0]
+
+    def bands():
+        n = B * 7
+        arr = np.ctypeslib.as_array(
+            (ctypes.c_float * n).from_address(w.lib.wasm_mem_ptr() + u32(6600))
+        ).copy()
+        return arr.reshape(B, 7)
+
+    model = SpectralModel(cfg)
+    mult = float(np.exp2(semitones / 12.0))
+    limit = float(f32(6172))
+    errs = []
+    for q in range(n_hops):
+        ie = round((q * 128 + out_lat) * rate) + in_lat
+        w.mem_f32(ptr, buf_len)[:] = tpad[ie + 2 * WIN - buf_len : ie + 2 * WIN]
+        w._seek(buf_len, rate)
+        w._process(0, 128)
+        S = bands()
+        blob_out = S[:, 4] + 1j * S[:, 5]
+        spec_in = analyse(tpad[ie + 2 * WIN - WIN : ie + 2 * WIN], wa, F)
+        spec_prev = analyse(
+            tpad[ie + 2 * WIN - WIN - I : ie + 2 * WIN - I], wa, F
+        )
+        out = model.hop(
+            spec_in[None], spec_prev[None], 1.0 / rate,
+            freq_multiplier=mult, freq_tonality_limit=limit,
+        )
+        errs.append(
+            float(np.abs(out[0] - blob_out).max() / np.abs(blob_out).max())
+        )
+    return max(errs)
+
+
+def test_identity_hops_exact():
+    assert _drive(semitones=0.0, rate=0.5) < 1e-3
+
+
+def test_pitch_up_hops_exact():
+    assert _drive(semitones=12.0, rate=1.0) < 1e-3
+
+
+def test_pitch_down_with_rate():
+    assert _drive(semitones=-7.0, rate=1.25) < 1e-3

@@ -1,0 +1,330 @@
+"""Exact Python model of the reference WASM stretch engine's spectral core.
+
+Every step here was verified against the live blob (wasm2c-compiled,
+splitComputation=1 driven one output sample at a time so each pipeline
+stage's memory state is observable — see docs/WASM-ALGO.md):
+
+- analysis convention        rel err ~2e-7  (float32 floor)
+- time-shift rotation        rel err ~2e-5
+- time-prediction step       rel err ~2.5e-7
+- vertical/makeOutput step   rel err ~1.1e-7
+
+The model exists to (a) pin the algorithm for the JAX engine's fidelity
+mode, and (b) serve as a fast hop-level oracle in tests.  It is written
+for clarity, not speed.
+
+Reference behavior cites: the blob at app/SignalsmithStretch.mjs:265;
+worklet drive semantics at :826-954.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+try:
+    from scipy.special import i0 as _bessel_i0
+except ImportError:  # pragma: no cover
+    def _bessel_i0(x):
+        x = np.asarray(x, np.float64)
+        out = np.zeros_like(x)
+        term = np.ones_like(x)
+        for m in range(1, 40):
+            out += term
+            term = term * (x / (2 * m)) ** 2
+        return out + term
+
+EPS = 1e-15  # the blob's noise floor (reint 0x268FEBBD... measured 1e-15)
+
+
+def fft_size_for(block: int) -> int:
+    """Smallest 2^a * m >= block with m in {1, 3, 5} (measured rule)."""
+    best = None
+    for m in (1, 3, 5):
+        size = m
+        while size < block:
+            size *= 2
+        if best is None or size < best:
+            best = size
+    return best
+
+
+def blob_window(n_samples: int, interval: int) -> np.ndarray:
+    """The blob's exact analysis/synthesis window (identical pair):
+    periodic-centered Kaiser with the heuristic-optimal bandwidth law,
+    per-sample forced-COLA normalized (sum_h w^2(n-hI) = 1)."""
+    ov = n_samples / interval
+    bw = ov + 8.0 / (ov + 3.0) ** 2 + max(3.0 - ov, 0.0) / 4.0
+    beta = np.pi * np.sqrt(bw * bw / 4.0 - 1.0)
+    n = np.arange(n_samples)
+    x = 2.0 * (n + 0.5) / n_samples - 1.0
+    k = _bessel_i0(beta * np.sqrt(np.maximum(0.0, 1.0 - x * x))) / _bessel_i0(beta)
+    s = np.zeros(n_samples)
+    hops = n_samples // interval + 2
+    for h in range(-hops, hops + 1):
+        idx = n - h * interval
+        ok = (idx >= 0) & (idx < n_samples)
+        s[ok] += k[idx[ok]] ** 2
+    return (k / np.sqrt(s)).astype(np.float64)
+
+
+def analyse(frame: np.ndarray, window: np.ndarray, fft_size: int) -> np.ndarray:
+    """Blob analysis: Z[k] = e^{+2pi i(k+1/2)A/F} MDFT_-(frame*w)[k],
+    A = len(window)//2.  `frame` must already be the window-length slice."""
+    win_n = len(window)
+    a = win_n // 2
+    fr = np.zeros(fft_size)
+    fr[:win_n] = frame * window
+    k = np.arange(fft_size // 2)
+    n = np.arange(fft_size)
+    e = np.exp(-2j * np.pi * (k[:, None] + 0.5) * n[None, :] / fft_size)
+    return (e @ fr) * np.exp(2j * np.pi * (k + 0.5) * a / fft_size)
+
+
+def synthesise(spectrum: np.ndarray, window: np.ndarray, fft_size: int) -> np.ndarray:
+    """Inverse of `analyse` up to the COLA identity: returns the
+    window-length time block to overlap-add (already re-windowed)."""
+    win_n = len(window)
+    a = win_n // 2
+    k = np.arange(fft_size // 2)
+    spec = spectrum * np.exp(-2j * np.pi * (k + 0.5) * a / fft_size)
+    n = np.arange(fft_size)
+    e = np.exp(2j * np.pi * (k[:, None] + 0.5) * n[None, :] / fft_size)
+    block = (2.0 / fft_size) * np.real(e.T @ spec)
+    return block[:win_n] * window
+
+
+def get_fractional(arr: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Complex linear interpolation with zeros outside [0, len)."""
+    pos = np.asarray(pos, np.float64)
+    i0 = np.floor(pos).astype(int)
+    frac = pos - i0
+
+    def at(idx):
+        v = np.zeros(len(idx), arr.dtype)
+        ok = (idx >= 0) & (idx < len(arr))
+        v[ok] = arr[idx[ok]]
+        return v
+
+    return at(i0) * (1 - frac) + at(i0 + 1) * frac
+
+
+def smooth_bidirectional(e: np.ndarray, coef: float, carry: float) -> tuple[np.ndarray, float]:
+    """The blob's two-pass one-pole smoother: backward then forward,
+    with the carry threaded across hops (addr 6680)."""
+    e = e.copy()
+    c = carry
+    for b in range(len(e) - 1, -1, -1):
+        c = (e[b] - c) * coef + c
+        e[b] = c
+    for b in range(len(e)):
+        c = (e[b] - c) * coef + c
+        e[b] = c
+    return e, c
+
+
+def find_peaks(energy: np.ndarray, smoothed: np.ndarray, freq_map) -> list[tuple[float, float]]:
+    """Maximal runs where energy > smoothed; energy-weighted center bin;
+    returns [(input_bin, output_bin)] with output via freq_map (verified
+    from the translated C, f48 L179-L206)."""
+    bands = len(energy)
+    f = len(energy) * 2  # fft size
+    peaks = []
+    b = 0
+    while b < bands:
+        if energy[b] > smoothed[b]:
+            se = 0.0
+            sb = 0.0
+            while b < bands and energy[b] > smoothed[b]:
+                se += energy[b]
+                sb += energy[b] * b
+                b += 1
+            center = sb / se
+            out_freq = freq_map((center + 0.5) / f)
+            peaks.append((center, out_freq * f - 0.5))
+        else:
+            b += 1
+    return peaks
+
+
+def output_map_from_peaks(peaks, bands: int) -> tuple[np.ndarray, np.ndarray]:
+    """outputMap: per output band {inputBin, freqGrad} (f48 L121 region).
+    Identity when no peaks; translation outside the end peaks; smoothstep
+    between adjacent peaks with the analytic gradient."""
+    input_bin = np.arange(bands, dtype=np.float64)
+    grad = np.ones(bands)
+    if not peaks:
+        return input_bin, grad
+    first_in, first_out = peaks[0]
+    hi = min(int(np.ceil(first_out)), bands)
+    for b in range(0, max(hi, 0)):
+        input_bin[b] = (first_in - first_out) + b
+        grad[b] = 1.0
+    for (p_in, p_out), (q_in, q_out) in zip(peaks, peaks[1:]):
+        lo = max(int(np.ceil(p_out)), 0)
+        hi = min(int(np.ceil(q_out)), bands)
+        if hi <= lo:
+            continue
+        span = q_out - p_out
+        dd = (q_in - p_in) - span
+        for b in range(lo, hi):
+            t = (b - p_out) / span
+            input_bin[b] = (p_in - p_out) + b + t * t * (3 - 2 * t) * dd
+            grad[b] = 1.0 + 6.0 * t * (1.0 - t) * dd / span
+    last_in, last_out = peaks[-1]
+    lo = max(int(np.ceil(last_out)), 0)
+    for b in range(lo, bands):
+        input_bin[b] = (last_in - last_out) + b
+        grad[b] = 1.0
+    return input_bin, grad
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    channels: int = 1
+    block: int = 512
+    interval: int = 128
+
+    @property
+    def fft_size(self) -> int:
+        return fft_size_for(self.block)
+
+    @property
+    def bands(self) -> int:
+        return self.fft_size // 2
+
+
+class SpectralModel:
+    """Hop-level model: state in, state out — mirrors the blob exactly.
+
+    State: prev_output [C, bands] complex (the carried output spectrum),
+    prev_pred_energy [C, bands] (the stale prediction-buffer contents),
+    smoothing carry.
+    """
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.prev_output = np.zeros((cfg.channels, cfg.bands), complex)
+        self.prev_pred_energy = np.zeros((cfg.channels, cfg.bands))
+        self.smooth_carry = 0.0
+        self.rng_state = None  # MINSTD seed when timeFactor > 2 paths used
+
+    def reset(self):
+        self.prev_output[:] = 0
+        self.prev_pred_energy[:] = 0
+        self.smooth_carry = 0.0
+
+    def hop(
+        self,
+        spec_in: np.ndarray,       # [C, bands] analysis at the current position
+        spec_prev: np.ndarray,     # [C, bands] analysis one *interval* earlier
+        time_factor: float,        # output interval / input advance (or seek rate semantics)
+        freq_multiplier: float = 1.0,
+        freq_tonality_limit: float = 0.0,  # normalized freq (stored form)
+    ) -> np.ndarray:
+        """One hop of processSpectrum. Returns the output spectrum [C, bands]
+        (which is also stored as the carried prev_output)."""
+        cfg = self.cfg
+        b_idx = np.arange(cfg.bands)
+        f = cfg.fft_size
+        interval = cfg.interval
+        phi = 2 * np.pi * (b_idx + 0.5) * interval / f
+        rot = np.exp(1j * phi)
+
+        # step 3: re-reference carried output to the new frame position;
+        # the fresh prev-analysis gets the same rotation (verified: both +phi)
+        p_out = self.prev_output * rot[None, :]
+        spec_prev = spec_prev * rot[None, :]
+
+        # frequency map
+        mapping = freq_multiplier != 1.0
+        if mapping:
+            energy_c = np.abs(spec_in) ** 2          # Band.energy per channel
+            energy = energy_c.sum(0)
+            coef = 1.0 / (0.5 * (f / interval) + 1.0)
+            # the smoother runs TWICE per hop (work-steps 1 and 2 both hit
+            # the same block); the carry is zeroed at the energy step and
+            # threaded between the two passes (verified 1.2e-7)
+            smoothed, carry = smooth_bidirectional(energy, coef, 0.0)
+            smoothed, _ = smooth_bidirectional(smoothed, coef, carry)
+
+            def freq_map(freq):
+                if freq > freq_tonality_limit:
+                    return freq + (freq_multiplier - 1.0) * freq_tonality_limit
+                return freq * freq_multiplier
+
+            peaks = find_peaks(energy, smoothed, freq_map)
+            input_bin, grad = output_map_from_peaks(peaks, cfg.bands)
+        else:
+            energy_c = np.abs(spec_in) ** 2
+            input_bin = b_idx.astype(np.float64)
+            grad = np.ones(cfg.bands)
+
+        bts = min(max(time_factor, 0.5), 2.0)
+        long_step = int(round(f / interval))
+        # (timeFactor > 2 engages the MINSTD random vertical step; golden
+        # configs stay within [0.5, 2], so it is not modeled here yet)
+
+        # step 6: per-channel predictions + time-prediction into prev_output
+        pred_energy = np.zeros((cfg.channels, cfg.bands))
+        pred_input = np.zeros((cfg.channels, cfg.bands), complex)
+        timepred = np.zeros((cfg.channels, cfg.bands), complex)
+        running_max = self.prev_pred_energy.copy()  # stale buffer contents
+        for c in range(cfg.channels):
+            e_interp = get_fractional(energy_c[c].astype(complex), input_bin).real
+            pred_energy[c] = e_interp * np.maximum(grad, 0.0)
+            pred_input[c] = get_fractional(spec_in[c], input_bin)
+            prev_interp = get_fractional(spec_prev[c], input_bin)
+            tw = pred_input[c] * np.conj(prev_interp)
+            stale = running_max[c - 1] if c > 0 else self.prev_pred_energy[-1]
+            den = np.maximum(pred_energy[c], stale) + EPS
+            timepred[c] = p_out[c] * tw / den
+            running_max[c] = pred_energy[c]  # buffer now holds this channel
+
+        # NOTE on the stale max: the prediction buffer is shared across
+        # channels; channel c sees max(pred_energy[c], value left by the
+        # previous channel this hop, or by the last channel of the previous
+        # hop for c == 0).  Verified mono; stereo order asserted in tests.
+
+        # step 7: sequential vertical phase propagation + makeOutput
+        out = timepred.copy()  # upper neighbors read time predictions
+        down_s = np.stack([get_fractional(spec_in[c], input_bin - bts) for c in range(cfg.channels)])
+        down_l = np.stack([get_fractional(spec_in[c], input_bin - bts * long_step) for c in range(cfg.channels)])
+        max_ch = np.argmax(pred_energy, axis=0)
+        for b in range(cfg.bands):
+            mc = int(max_ch[b])
+            ph = 0j
+            if b > 0:
+                ph += out[mc, b - 1] * (pred_input[mc, b] * np.conj(down_s[mc, b]))
+                if b >= long_step:
+                    ph += out[mc, b - long_step] * (pred_input[mc, b] * np.conj(down_l[mc, b]))
+            if b < cfg.bands - 1:
+                ph += timepred[mc, b + 1] * np.conj(
+                    pred_input[mc, b + 1] * np.conj(down_s[mc, b + 1])
+                )
+                if b < cfg.bands - long_step:
+                    ph += timepred[mc, b + long_step] * np.conj(
+                        pred_input[mc, b + long_step] * np.conj(down_l[mc, b + long_step])
+                    )
+            p2 = abs(ph) ** 2
+            if p2 <= EPS:
+                ph = pred_input[mc, b]
+                p2 = abs(ph) ** 2 + EPS
+            out[mc, b] = np.sqrt(pred_energy[mc, b] / p2) * ph
+            # other channels: lock to the max channel's output phase via the
+            # inter-channel input phase difference
+            for c in range(cfg.channels):
+                if c == mc:
+                    continue
+                tw = pred_input[mc, b] * np.conj(pred_input[c, b])
+                ph_c = out[mc, b] * np.conj(tw)
+                p2c = abs(ph_c) ** 2
+                if p2c <= EPS:
+                    ph_c = pred_input[c, b]
+                    p2c = abs(ph_c) ** 2 + EPS
+                out[c, b] = np.sqrt(pred_energy[c, b] / p2c) * ph_c
+
+        self.prev_output = out.copy()
+        self.prev_pred_energy = pred_energy
+        return out
