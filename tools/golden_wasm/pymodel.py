@@ -71,27 +71,37 @@ def blob_window(n_samples: int, interval: int) -> np.ndarray:
 
 def analyse(frame: np.ndarray, window: np.ndarray, fft_size: int) -> np.ndarray:
     """Blob analysis: Z[k] = e^{+2pi i(k+1/2)A/F} MDFT_-(frame*w)[k],
-    A = len(window)//2.  `frame` must already be the window-length slice."""
+    A = len(window)//2.  `frame` must already be the window-length slice.
+
+    MDFT_- via FFT: sum_n x[n] e^{-2pi i(k+0.5)n/F} = FFT(x * e^{-pi i n/F})[k].
+    """
     win_n = len(window)
     a = win_n // 2
-    fr = np.zeros(fft_size)
+    fr = np.zeros(fft_size, complex)
     fr[:win_n] = frame * window
-    k = np.arange(fft_size // 2)
     n = np.arange(fft_size)
-    e = np.exp(-2j * np.pi * (k[:, None] + 0.5) * n[None, :] / fft_size)
-    return (e @ fr) * np.exp(2j * np.pi * (k + 0.5) * a / fft_size)
+    k = np.arange(fft_size // 2)
+    z = np.fft.fft(fr * np.exp(-1j * np.pi * n / fft_size))[: fft_size // 2]
+    return z * np.exp(2j * np.pi * (k + 0.5) * a / fft_size)
 
 
 def synthesise(spectrum: np.ndarray, window: np.ndarray, fft_size: int) -> np.ndarray:
     """Inverse of `analyse` up to the COLA identity: returns the
-    window-length time block to overlap-add (already re-windowed)."""
+    window-length time block to overlap-add (already re-windowed).
+
+    x[n] = (2/F) Re[e^{+pi i n/F} IFFT-sum_k spec'[k] e^{+2pi i k n/F}]
+    computed with one inverse FFT over the zero-extended half spectrum.
+    """
     win_n = len(window)
     a = win_n // 2
     k = np.arange(fft_size // 2)
     spec = spectrum * np.exp(-2j * np.pi * (k + 0.5) * a / fft_size)
+    full = np.zeros(fft_size, complex)
+    full[: fft_size // 2] = spec
     n = np.arange(fft_size)
-    e = np.exp(2j * np.pi * (k[:, None] + 0.5) * n[None, :] / fft_size)
-    block = (2.0 / fft_size) * np.real(e.T @ spec)
+    block = (2.0 / fft_size) * np.real(
+        np.fft.ifft(full) * fft_size * np.exp(1j * np.pi * n / fft_size)
+    )
     return block[:win_n] * window
 
 
