@@ -1,0 +1,256 @@
+"""Fidelity renderer: the reference worklet drive around the blob-exact core.
+
+Reproduces ``native.render_reference`` (the reference worklet hot loop,
+app/SignalsmithStretch.mjs:826-954, splitComputation on) as a TPU-shaped
+pipeline:
+
+- host: per-hop input frame ends, replicating the worklet's float time
+  accumulation bit-for-bit (the round() of inputTime*sr decides which
+  sample each analysis window ends on — docs/WASM-ALGO.md "Worklet-drive");
+- device, one jitted graph: batched windowed frame gather -> batched MDFT
+  analyses for ALL hops -> ``lax.scan`` of the spectral core over hops
+  (the only sequential part; its inner band scan vectorizes across
+  batch/channels) -> batched inverse MDFT -> one overlap-add, frames placed
+  at ``(h+1)*interval`` (the measured split-on placement).
+
+The reference engine's output at rate 1 / factor 1 is an exact passthrough
+with ``block`` samples latency; against the actual blob this renderer
+measures 54-108 dB SNR over 2 s across rate {0.5,1,2} x semitones
+{-12,0,+12} on tonal material (tests/test_golden_wasm.py), bounded only by
+the renderer's own chaotic sensitivity (docs/WASM-ALGO.md "Sensitivity").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bauklank_tpu.engine.spectral import (
+    SpectralConfig,
+    SpectralState,
+    blob_window,
+    init_spectral_state,
+    spectral_hop,
+)
+from bauklank_tpu.ops import framing, mdft
+
+__all__ = [
+    "SpectralConfig",
+    "FidelityState",
+    "hop_frame_ends",
+    "render_fidelity",
+    "init_fidelity_state",
+    "init_batched_fidelity_state",
+    "fidelity_chunk",
+    "batched_fidelity_chunk",
+]
+
+QUANTUM = 128  # browser render quantum (reference :820-826)
+
+
+def hop_frame_ends(
+    cfg: SpectralConfig,
+    n_hops: int,
+    rate: float,
+    sample_rate: float,
+    input_offset: float = 0.0,
+) -> np.ndarray:
+    """Per-hop analysis frame ends (exclusive, in track samples).
+
+    Hop ``h`` fires at output-counter sample ``o = h*interval``; its
+    analyses see the ring primed by the seek of the quantum containing
+    ``o``: inputEnd = round((seg.input + (q*128/sr + outLat_sec)*rate +
+    inLat_sec) * sr), with the quantum clock ACCUMULATED in float64 exactly
+    like the worklet restatement (native.py:241-284) — the rounding at
+    half-sample boundaries depends on it.
+    """
+    sr = float(sample_rate)
+    in_lat = cfg.block // 2
+    out_lat = (cfg.block - cfg.block // 2) + cfg.interval  # split on
+    in_lat_sec, out_lat_sec = in_lat / sr, out_lat / sr
+    n_q = (n_hops * cfg.interval) // QUANTUM + 1
+    ie_by_q = np.empty(n_q, np.int64)
+    t = 0.0
+    for q in range(n_q):
+        ie_by_q[q] = round((input_offset + (t + out_lat_sec) * rate + in_lat_sec) * sr)
+        t += QUANTUM / sr
+    hops = np.arange(n_hops)
+    return ie_by_q[(hops * cfg.interval) // QUANTUM].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def _consts(block: int, interval: int, fft: int):
+    w = blob_window(block, interval).astype(np.float32)
+    bands = fft // 2
+    a = block // 2
+    rot = 2.0 * np.pi * (np.arange(bands) + 0.5) * a / fft  # analysis ref shift
+    return w, rot.astype(np.float32)
+
+
+def _unit(phase: np.ndarray) -> jnp.ndarray:
+    p = np.asarray(phase, np.float32)
+    return jax.lax.complex(jnp.cos(jnp.asarray(p)), jnp.sin(jnp.asarray(p)))
+
+
+def analyse_frames(cfg: SpectralConfig, audio: jnp.ndarray, ends: jnp.ndarray):
+    """Batched blob analyses: frames ENDING at ``ends``, windowed, zero-
+    padded to the fft size, half-bin transformed, zero-phase referenced to
+    the frame center.  audio [C, T], ends [H] -> [H, C, bands] complex64."""
+    w, rot = _consts(cfg.block, cfg.interval, cfg.fft)
+    frames = framing.gather_frames(audio, ends.astype(jnp.int32) - cfg.block, cfg.block)
+    windowed = frames * jnp.asarray(w)  # [C, H, block]
+    padded = jnp.pad(windowed, ((0, 0), (0, 0), (0, cfg.fft - cfg.block)))
+    spec = mdft.mdft(padded) * _unit(rot)
+    return spec.transpose(1, 0, 2)  # [H, C, bands]
+
+
+def synthesise_frames(cfg: SpectralConfig, specs: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of analyse_frames: [H, C, bands] -> time frames [C, H, block]
+    (already synthesis-windowed, ready to overlap-add)."""
+    w, rot = _consts(cfg.block, cfg.interval, cfg.fft)
+    spec = specs.transpose(1, 0, 2) * jnp.conj(_unit(rot))
+    blocks = mdft.imdft(spec, cfg.fft)[..., : cfg.block]
+    return blocks * jnp.asarray(w)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _render_jit(
+    cfg: SpectralConfig,
+    audio: jnp.ndarray,       # [C, T]
+    frame_ends: jnp.ndarray,  # [H] int32
+    n_out: int,
+    time_factor: jnp.ndarray,  # scalar
+    mult: jnp.ndarray,
+    limit: jnp.ndarray,
+    state: SpectralState,
+):
+    h = frame_ends.shape[0]
+    both = jnp.concatenate([frame_ends, frame_ends - cfg.interval])
+    specs = analyse_frames(cfg, audio, both)   # [2H, C, bands]
+    cur, prev = specs[:h], specs[h:]
+
+    def body(st, x):
+        si, sp = x
+        st, out = spectral_hop(cfg, st, si, sp, time_factor, mult, limit)
+        return st, out
+
+    state, outs = jax.lax.scan(body, state, (cur, prev))
+    frames = synthesise_frames(cfg, outs)      # [C, H, block]
+    ola = framing.overlap_add(frames, cfg.interval, n_out)
+    # measured placement: frame h lands at (h+1)*interval — shift right
+    out = jnp.pad(ola, ((0, 0), (cfg.interval, 0)))[:, :n_out]
+    return state, out
+
+
+#: streaming fidelity state — a plain pytree: (SpectralState, ola_tail)
+FidelityState = tuple
+
+
+def fidelity_chunk(
+    cfg: SpectralConfig,
+    state,
+    audio: jnp.ndarray,       # [C, T]
+    frame_ends: jnp.ndarray,  # [H] int32
+    time_factor: jnp.ndarray,
+    mult: jnp.ndarray,
+    limit: jnp.ndarray,
+    active: jnp.ndarray,      # scalar 0/1
+):
+    """Streaming step: render H hops, emit exactly H*interval samples.
+
+    state = (SpectralState, ola_tail [C, block + interval]).  Hop h's
+    synthesized frame lands at chunk-local samples [(h+1)*I, (h+1)*I+block)
+    (the measured split-on placement); contributions past the emitted chunk
+    carry in the OLA tail.  Inactive voices keep their spectral state
+    frozen and emit silence (the reference zeroes input instead — we skip
+    the work entirely, a deliberate improvement the reference itself notes
+    as a TODO, app/SignalsmithStretch.mjs:868-869).
+    """
+    spec_state, tail = state
+    h = frame_ends.shape[0]
+    interval, block = cfg.interval, cfg.block
+    both = jnp.concatenate([frame_ends, frame_ends - interval])
+    specs = analyse_frames(cfg, audio, both)
+    cur, prev = specs[:h], specs[h:]
+
+    def body(st, x):
+        si, sp = x
+        st2, out = spectral_hop(cfg, st, si, sp, time_factor, mult, limit)
+        return st2, out
+
+    new_spec_state, outs = jax.lax.scan(body, spec_state, (cur, prev))
+    frames = synthesise_frames(cfg, outs)            # [C, H, block]
+    total = h * interval + interval + block          # span of all frames
+    ola = framing.overlap_add(frames, interval, total - interval)
+    ola = jnp.pad(ola, ((0, 0), (interval, 0)))      # frames start at +I
+    ola = ola.at[:, : block + interval].add(tail)
+    emit = ola[:, : h * interval] * active
+    new_tail = ola[:, h * interval :]
+    # freeze state while inactive
+    new_spec_state = jax.tree.map(
+        lambda a, b: jnp.where(active > 0, a, b), new_spec_state, spec_state
+    )
+    new_tail = jnp.where(active > 0, new_tail, tail)
+    return (new_spec_state, new_tail), emit
+
+
+def init_fidelity_state(cfg: SpectralConfig):
+    return (
+        init_spectral_state(cfg),
+        jnp.zeros((cfg.channels, cfg.block + cfg.interval), jnp.float32),
+    )
+
+
+def init_batched_fidelity_state(cfg: SpectralConfig, capacity: int):
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (capacity,) + x.shape).copy(),
+        init_fidelity_state(cfg),
+    )
+
+
+def batched_fidelity_chunk(cfg: SpectralConfig, states, audios, ends, tf, mult, limit, active):
+    """vmap of :func:`fidelity_chunk` over a leading stream axis.  The
+    spectral band scan runs in lockstep across all streams — that is the
+    intended TPU mapping (one sequential scan, wide vector lanes)."""
+    return jax.vmap(
+        lambda st, au, en, t, m, l, a: fidelity_chunk(cfg, st, au, en, t, m, l, a)
+    )(states, audios, ends, tf, mult, limit, active)
+
+
+def render_fidelity(
+    audio: np.ndarray,
+    sample_rate: float,
+    n_out: int,
+    rate: float = 1.0,
+    semitones: float = 0.0,
+    tonality_hz: float = 8000.0,
+    block_ms: float = 120.0,
+    interval_ms: float = 30.0,
+    state: SpectralState | None = None,
+) -> np.ndarray:
+    """Render ``n_out`` frames — same signature/semantics as the golden
+    harness' native.render_reference (split on).  audio [C, T] float32."""
+    sr = float(sample_rate)
+    block = round(block_ms / 1000 * sr)
+    interval = round(interval_ms / 1000 * sr)
+    cfg = SpectralConfig(channels=audio.shape[0], block=block, interval=interval)
+    n_hops = -(-n_out // interval)
+    ends = hop_frame_ends(cfg, n_hops, rate, sr)
+    mult = float(np.exp2(semitones / 12.0))
+    limit = (tonality_hz / sr) / np.sqrt(mult)
+    if state is None:
+        state = init_spectral_state(cfg)
+    _, out = _render_jit(
+        cfg,
+        jnp.asarray(audio, jnp.float32),
+        jnp.asarray(ends),
+        int(n_out),
+        jnp.float32(1.0 / rate),
+        jnp.float32(mult),
+        jnp.float32(limit),
+        state,
+    )
+    return np.asarray(out)

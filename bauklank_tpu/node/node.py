@@ -48,6 +48,24 @@ def _chunk_jit(config, state, audio, packed):
     return process_chunk(config, state, audio, ends, params)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fidelity_chunk_jit(scfg, state, audio, packed):
+    """Fidelity-mode dispatch: same packed layout as :func:`_chunk_jit`;
+    rate/transpose/tonality map onto the blob-exact core's controls
+    (timeFactor = 1/rate, limit = tonality/sqrt(multiplier) — measured,
+    docs/WASM-ALGO.md)."""
+    from bauklank_tpu.engine.fidelity import fidelity_chunk
+
+    h = packed.shape[0] - 7
+    ends = packed[:h].astype(jnp.int32)
+    params = StretchParams(*[packed[h + i] for i in range(7)])
+    tf = 1.0 / jnp.maximum(params.rate, 1e-6)
+    limit = params.tonality / jnp.sqrt(params.transpose_factor)
+    return fidelity_chunk(
+        scfg, state, audio, ends, tf, params.transpose_factor, limit, params.active
+    )
+
+
 class StretchNode:
     """One stretch voice.
 
@@ -62,15 +80,29 @@ class StretchNode:
         channels: int = 2,
         config: StretchConfig | None = None,
         hops_per_dispatch: int = 1,
+        engine: str = "fast",
     ) -> None:
         # hops_per_dispatch > 1 amortizes dispatch overhead for offline/bulk
         # rendering but pre-renders that many intervals ahead, delaying the
         # effect of schedule() changes; 1 keeps control latency at one
         # interval, closest to the reference's per-quantum control sampling
         # (app/SignalsmithStretch.mjs:845-849).
+        #
+        # engine: "fast" (the TPU-first hop-parallel engine, engine.core) or
+        # "fidelity" (the blob-exact reference algorithm, engine.spectral —
+        # >=40 dB vs the actual reference renderer, tests/test_golden_wasm).
+        # Fidelity mode covers stretch + pitch; formant controls currently
+        # require the fast engine, and rates outside [0.5, 2] use the
+        # clamped deterministic time step where the reference draws a
+        # MINSTD-random one (docs/WASM-ALGO.md step 7).
+        if engine not in ("fast", "fidelity"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.sample_rate = float(sample_rate)
         self.channels = channels
         self.config = config or preset_default(channels, sample_rate)
+        if config is None:
+            self._raw_sizes = (round(self.sample_rate * 0.12), round(self.sample_rate * 0.03))
         self.hops_per_dispatch = hops_per_dispatch
         self.timemap = TimeMap()
         self._buffers: list[np.ndarray] = []
@@ -91,8 +123,10 @@ class StretchNode:
         Reconfiguring resets the engine, like the reference (:791-792)."""
         if kw.get("preset") == "cheaper":
             self.config = preset_cheaper(self.channels, self.sample_rate)
+            self._raw_sizes = (round(self.sample_rate * 0.1), round(self.sample_rate * 0.04))
         elif kw.get("preset") == "default":
             self.config = preset_default(self.channels, self.sample_rate)
+            self._raw_sizes = (round(self.sample_rate * 0.12), round(self.sample_rate * 0.03))
         elif "blockMs" in kw or "block" in kw:
             block = int(kw.get("block") or round(kw["blockMs"] / 1000.0 * self.sample_rate))
             if "interval" in kw:
@@ -103,6 +137,7 @@ class StretchNode:
                 interval = round(block / float(kw["overlap"]))
             else:
                 interval = round(block * 0.25)  # reference default (:787)
+            self._raw_sizes = (block, max(1, interval))
             self.config = StretchConfig(
                 channels=self.channels,
                 block=block,
@@ -111,31 +146,52 @@ class StretchNode:
             )
         self.reset()
 
+    @property
+    def _scfg(self):
+        """Fidelity-mode static config: the blob keeps the REQUESTED block
+        (no fast-size rounding; its FFT zero-pads to 2^a*{1,3,5} above it —
+        docs/WASM-ALGO.md 'Sizes'), so latency/windowing match exactly."""
+        from bauklank_tpu.engine.fidelity import SpectralConfig
+
+        block, interval = getattr(
+            self, "_raw_sizes", (self.config.block, self.config.interval)
+        )
+        return SpectralConfig(self.channels, block, interval)
+
     def reset(self) -> None:
-        self._state = init_state(self.config)
+        if self.engine == "fidelity":
+            from bauklank_tpu.engine.fidelity import init_fidelity_state
+
+            self._state = init_fidelity_state(self._scfg)
+        else:
+            self._state = init_state(self.config)
         self._out_pos = 0
         self._fifo = np.zeros((self.channels, 0), np.float32)
         self._since_update = 0.0
 
     @property
     def block_samples(self) -> int:
-        return self.config.block
+        return self._scfg.block if self.engine == "fidelity" else self.config.block
 
     @property
     def interval_samples(self) -> int:
-        return self.config.interval
+        return self._scfg.interval if self.engine == "fidelity" else self.config.interval
 
     @property
     def input_latency(self) -> int:
-        return self.config.input_latency
+        return self.block_samples // 2 if self.engine == "fidelity" else self.config.input_latency
 
     @property
     def output_latency(self) -> int:
+        if self.engine == "fidelity":
+            # split-on semantics: block/2 + interval (docs/WASM-ALGO.md)
+            b = self.block_samples
+            return (b - b // 2) + self.interval_samples
         return self.config.output_latency
 
     def latency(self) -> float:
         """Total latency in seconds (reference node method `latency`)."""
-        return (self.config.input_latency + self.config.output_latency) / self.sample_rate
+        return (self.input_latency + self.output_latency) / self.sample_rate
 
     def set_update_interval(self, seconds: float, callback=None) -> None:
         self._update_interval = float(seconds)
@@ -157,7 +213,7 @@ class StretchNode:
     def output_time(self) -> float:
         """Current playhead in seconds, offset by output latency like the
         reference's ``currentTime + outputLatencySeconds`` (:840)."""
-        return self._out_pos / self.sample_rate + self.config.output_latency / self.sample_rate
+        return self._out_pos / self.sample_rate + self.output_latency / self.sample_rate
 
     # -------------------------------------------------------------- buffers
     def add_buffers(self, channel_arrays) -> int:
@@ -192,7 +248,7 @@ class StretchNode:
         """
         while self._fifo.shape[1] < n_samples:
             deficit = n_samples - self._fifo.shape[1]
-            hops_needed = -(-deficit // self.config.interval)
+            hops_needed = -(-deficit // self.interval_samples)
             # bucket large pulls into big dispatches (compiled per bucket);
             # small pulls keep hops_per_dispatch-granularity control latency
             hops = self.hops_per_dispatch
@@ -217,24 +273,31 @@ class StretchNode:
         if len(segs) < 2:
             return 1 << 30
         sr = self.sample_rate
-        next_out = segs[1].output - self.config.output_latency / sr
+        next_out = segs[1].output - self.output_latency / sr
         rendered = self._out_pos + self._fifo.shape[1]
         # hop h samples its params at (rendered + h*I + B/2)/sr (+latency)
-        samples_left = (next_out * sr) - rendered - self.config.block / 2
-        return int(np.floor(samples_left / self.config.interval))
+        samples_left = (next_out * sr) - rendered - self.block_samples / 2
+        return int(np.floor(samples_left / self.interval_samples))
 
     def _render_hops(self, n_hops: int) -> None:
-        cfg = self.config
+        fid = self.engine == "fidelity"
+        block, interval = self.block_samples, self.interval_samples
         sr = self.sample_rate
         audio = self._device_audio()
         packed = np.zeros(n_hops + 7, np.float32)
         seg = None
         for h in range(n_hops):
-            # output frame center for this hop, in seconds (+ latency offset)
-            out_center = (self._out_pos + self._fifo.shape[1] + h * cfg.interval + cfg.block // 2)
-            out_t = out_center / sr + cfg.output_latency / sr
+            if fid:
+                # worklet drive: inputTime sampled at the hop's output-
+                # counter position (+ output latency); frame ends at
+                # round(inputTime*sr) + inputLatency (docs/WASM-ALGO.md)
+                out_s = self._out_pos + self._fifo.shape[1] + h * interval
+            else:
+                # fast engine: frame CENTER maps from the output frame center
+                out_s = self._out_pos + self._fifo.shape[1] + h * interval + block // 2
+            out_t = out_s / sr + self.output_latency / sr
             in_t = self.timemap.input_time_at(out_t)
-            packed[h] = float(int(round(in_t * sr)) + cfg.block // 2)
+            packed[h] = float(int(round(in_t * sr)) + block // 2)
             seg = self.timemap.current()
         packed[n_hops:] = (
             1.0 if seg.active else 0.0,
@@ -245,7 +308,12 @@ class StretchNode:
             1.0 if seg.formant_compensation else 0.0,
             seg.formant_base_hz / sr,
         )
-        self._state, out = _chunk_jit(self.config, self._state, audio, jnp.asarray(packed))
+        if fid:
+            self._state, out = _fidelity_chunk_jit(
+                self._scfg, self._state, audio, jnp.asarray(packed)
+            )
+        else:
+            self._state, out = _chunk_jit(self.config, self._state, audio, jnp.asarray(packed))
         self._fifo = np.concatenate([self._fifo, np.asarray(out)], axis=1)
         self._since_update += out.shape[1] / sr
         if self._update_cb and self._since_update >= self._update_interval:
@@ -297,6 +365,10 @@ class StretchNode:
 
     def flush(self) -> np.ndarray:
         """Emit the remaining overlap-add tail (reference `_flush`)."""
+        if self.engine == "fidelity":
+            spec_state, tail = self._state
+            self._state = (spec_state, jnp.zeros_like(tail))
+            return np.asarray(tail)
         from bauklank_tpu.engine.core import flush as engine_flush
 
         self._state, tail = engine_flush(self.config, self._state)

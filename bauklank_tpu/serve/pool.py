@@ -67,9 +67,24 @@ class VoiceSlot:
     loaded: bool = False
 
 
+def _mixdown(out, gains, pans):
+    """30ms-style linear mix ramp + stereo mixdown (reference graph
+    gain -> panL/panR -> ChannelMerger, app/multi/app.mjs:149-162)."""
+    n = out.shape[-1]
+    t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)[None, :]
+    g = gains[:, :1] + (gains[:, 1:] - gains[:, :1]) * t      # [S, n]
+    p = pans[:, :1] + (pans[:, 1:] - pans[:, :1]) * t          # [S, n]
+    mono = jnp.mean(out, axis=1)                               # [S, n]
+    pan_l = jnp.minimum(1.0, 1.0 - p)
+    pan_r = jnp.minimum(1.0, 1.0 + p)
+    master_l = jnp.sum(mono * g * pan_l, axis=0)
+    master_r = jnp.sum(mono * g * pan_r, axis=0)
+    return jnp.stack([master_l, master_r])
+
+
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _pool_step(config, states, audios, packed):
-    """One batched step + 30ms-style linear mix ramp + stereo mixdown.
+    """One batched step + mix ramp + stereo mixdown.
 
     ``packed`` [S, H + 11] float32 carries per-stream hop tables, params,
     and mix ramps in ONE host->device transfer (split transfers each pay
@@ -81,19 +96,26 @@ def _pool_step(config, states, audios, packed):
     h = packed.shape[1] - 11
     ends = packed[:, :h].astype(jnp.int32)
     params = StretchParams(*[packed[:, h + i] for i in range(7)])
-    gains = packed[:, h + 7 : h + 9]
-    pans = packed[:, h + 9 : h + 11]
     states, out = batched_process_chunk(config, states, audios, ends, params)
-    n = out.shape[-1]
-    t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)[None, :]
-    g = gains[:, :1] + (gains[:, 1:] - gains[:, :1]) * t      # [S, n]
-    p = pans[:, :1] + (pans[:, 1:] - pans[:, :1]) * t          # [S, n]
-    mono = jnp.mean(out, axis=1)                               # [S, n]
-    pan_l = jnp.minimum(1.0, 1.0 - p)
-    pan_r = jnp.minimum(1.0, 1.0 + p)
-    master_l = jnp.sum(mono * g * pan_l, axis=0)
-    master_r = jnp.sum(mono * g * pan_r, axis=0)
-    return states, jnp.stack([master_l, master_r]), out
+    return states, _mixdown(out, packed[:, h + 7 : h + 9], packed[:, h + 9 : h + 11]), out
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _pool_step_fidelity(scfg, states, audios, packed):
+    """Fidelity-mode pool step: same packed layout as :func:`_pool_step`,
+    dispatching the blob-exact core (engine.spectral) — the band scan runs
+    once, vectorized across all streams (the intended TPU mapping)."""
+    from bauklank_tpu.engine.fidelity import batched_fidelity_chunk
+
+    h = packed.shape[1] - 11
+    ends = packed[:, :h].astype(jnp.int32)
+    params = StretchParams(*[packed[:, h + i] for i in range(7)])
+    tf = 1.0 / jnp.maximum(params.rate, 1e-6)
+    limit = params.tonality / jnp.sqrt(params.transpose_factor)
+    states, out = batched_fidelity_chunk(
+        scfg, states, audios, ends, tf, params.transpose_factor, limit, params.active
+    )
+    return states, _mixdown(out, packed[:, h + 7 : h + 9], packed[:, h + 9 : h + 11]), out
 
 
 class StreamPool:
@@ -112,9 +134,23 @@ class StreamPool:
         max_track_sec: float = 30.0,
         names: list[str] | None = None,
         hops_per_step: int = 1,
+        engine: str = "fast",
     ) -> None:
+        # engine: "fast" (hop-parallel TPU-first, engine.core) or
+        # "fidelity" (blob-exact reference algorithm, engine.spectral).
+        # See StretchNode.__init__ for the mode semantics and current
+        # fidelity-mode limitations (formants, rates outside [0.5, 2]).
+        if engine not in ("fast", "fidelity"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.sample_rate = float(sample_rate)
         self.config = config or preset_default(channels, sample_rate)
+        if engine == "fidelity":
+            from bauklank_tpu.engine.fidelity import SpectralConfig
+
+            block = (round(sample_rate * 0.12) if config is None else config.block)
+            interval = (round(sample_rate * 0.03) if config is None else config.interval)
+            self.scfg = SpectralConfig(channels, block, interval)
         self.capacity = capacity
         self.hops_per_step = hops_per_step
         self.max_track = int(max_track_sec * sample_rate)
@@ -129,7 +165,12 @@ class StreamPool:
         self._by_name = {s.name: i for i, s in enumerate(self.slots)}
         self._audio_host = np.zeros((capacity, channels, self.max_track), np.float32)
         self._audio_dev: jnp.ndarray | None = None
-        self.states = init_batched_state(self.config, capacity)
+        if engine == "fidelity":
+            from bauklank_tpu.engine.fidelity import init_batched_fidelity_state
+
+            self.states = init_batched_fidelity_state(self.scfg, capacity)
+        else:
+            self.states = init_batched_state(self.config, capacity)
         self.out_pos = 0  # output samples stepped so far
         from bauklank_tpu.utils.metrics import StepTimer
 
@@ -163,8 +204,17 @@ class StreamPool:
 
     # ------------------------------------------------------------- control
     @property
+    def _sizes(self):
+        """(block, interval, output_latency) for the active engine mode."""
+        if self.engine == "fidelity":
+            b, i = self.scfg.block, self.scfg.interval
+            return b, i, (b - b // 2) + i
+        c = self.config
+        return c.block, c.interval, c.output_latency
+
+    @property
     def output_time(self) -> float:
-        return self.out_pos / self.sample_rate + self.config.output_latency / self.sample_rate
+        return self.out_pos / self.sample_rate + self._sizes[2] / self.sample_rate
 
     def apply_set(self, slot: str, key: str, value: Any, lookahead: float = SCHEDULE_LOOKAHEAD_SEC) -> bool:
         """Route one control change (the §2.3 ``set`` message) to a voice.
@@ -228,19 +278,22 @@ class StreamPool:
         numpy (fencing the device work — honest latency accounting for the
         serving loop; see utils.metrics).
         """
-        cfg = self.config
         self.timer.start()
         sr = self.sample_rate
         h = self.hops_per_step
+        block, interval, out_lat = self._sizes
+        fid = self.engine == "fidelity"
         # single packed host->device transfer per step (see _pool_step)
         packed = np.zeros((self.capacity, h + 11), np.float32)
         for i, s in enumerate(self.slots):
             seg = None
             for k in range(h):
-                out_center = self.out_pos + k * cfg.interval + cfg.block // 2
-                out_t = out_center / sr + cfg.output_latency / sr
+                # fidelity: worklet drive samples inputTime at the hop's
+                # output-counter position; fast engine: at the frame center
+                out_s = self.out_pos + k * interval + (0 if fid else block // 2)
+                out_t = out_s / sr + out_lat / sr
                 in_t = s.timemap.input_time_at(out_t)
-                packed[i, k] = float(int(round(in_t * sr)) + cfg.block // 2)
+                packed[i, k] = float(int(round(in_t * sr)) + block // 2)
                 seg = s.timemap.current()
             packed[i, h : h + 7] = (
                 1.0 if (seg.active and s.loaded) else 0.0,
@@ -255,13 +308,18 @@ class StreamPool:
             packed[i, h + 9 : h + 11] = (s._prev_pan, s.pan)
             s._prev_volume = s.volume
             s._prev_pan = s.pan
-        self.states, master, streams = _pool_step(
-            cfg, self.states, self._device_audio(), jnp.asarray(packed)
-        )
-        self.out_pos += h * cfg.interval
+        if fid:
+            self.states, master, streams = _pool_step_fidelity(
+                self.scfg, self.states, self._device_audio(), jnp.asarray(packed)
+            )
+        else:
+            self.states, master, streams = _pool_step(
+                self.config, self.states, self._device_audio(), jnp.asarray(packed)
+            )
+        self.out_pos += h * interval
         if fetch:
             master = np.asarray(master)
-        self.timer.tick(self.capacity * h * cfg.interval)
+        self.timer.tick(self.capacity * h * interval)
         return master, streams
 
     def metrics(self) -> dict:

@@ -1,36 +1,77 @@
-"""Golden renders against the actual reference WASM engine.
+"""Golden fidelity vs the ACTUAL reference WASM engine.
 
-The blob (reference app/SignalsmithStretch.mjs:265) is executed natively:
-AOT-translated to C by tools/golden_wasm/wasm2c.py and driven by a Python
-re-statement of the worklet hot loop (tools/golden_wasm/native.py).  Needs
-gcc; skips only where neither gcc nor node exists.
+The BASELINE requirement — >=40 dB SNR vs the reference renderer across
+rate 0.5-2.0 and +/-12 semitones — is asserted here against committed
+fixtures rendered by the real blob (reference app/SignalsmithStretch.mjs:
+265, AOT-translated by tools/golden_wasm/wasm2c.py and driven through the
+exact worklet hot-loop semantics by tools/golden_wasm/native.py).  The
+fixtures make the assertion runnable with no compiler; where gcc exists a
+live blob render re-verifies one fixture, so they cannot drift silently.
+
+Full 2-second renders, stereo included; measured headroom is 14+ dB over
+the bound on every case (54-109 dB).  Material is tonal because the
+reference renderer itself is chaotic in the phase of noise bands — it
+amplifies its own 1-ULP input perturbations to -63..-78 dB over this
+window (measured; docs/WASM-ALGO.md "Sensitivity"), so no reimplementation
+can track broadband noise in the time domain indefinitely.
 """
 
+import pathlib
 import sys
 
+import numpy as np
 import pytest
 
 sys.path.insert(0, "tools")
-from golden_wasm import harness  # noqa: E402
+from golden_wasm import harness, material  # noqa: E402
 
-pytestmark = pytest.mark.skipif(
-    not harness.available(), reason="no WASM execution path (gcc/node)"
-)
-
-
-@pytest.mark.parametrize("rate,semitones", [(1.0, 0.0), (0.5, 0.0), (2.0, 0.0)])
-@pytest.mark.xfail(
-    reason="round-2 calibration vs the real blob in progress: the round-1 "
-    "engine matched only the self-derived spec (first real measurement: "
-    "-3..4 dB)",
-    strict=False,
-)
-def test_snr_vs_reference_wasm(rate, semitones):
-    snr = harness.compare(rate, semitones)
-    # BASELINE target: >=40 dB across rate 0.5-2.0
-    assert snr > 40.0, snr
+FIXTURES = pathlib.Path(__file__).parent / "golden" / "golden_v1.npz"
+SKIP = round(material.BLOCK_MS / 1000 * material.SR)  # latency ramp-in
 
 
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(FIXTURES)
+
+
+@pytest.mark.parametrize("name,rate,semitones,channels", material.CASES)
+def test_snr_vs_reference_wasm(golden, name, rate, semitones, channels):
+    """>=40 dB vs the reference renderer (BASELINE.md).  2 s, full matrix."""
+    from bauklank_tpu.engine.fidelity import render_fidelity
+
+    x = material.case_input(rate, channels)
+    n_out = int(material.SECONDS * material.SR)
+    got = render_fidelity(
+        x,
+        material.SR,
+        n_out,
+        rate=rate,
+        semitones=semitones,
+        tonality_hz=material.TONALITY_HZ,
+        block_ms=material.BLOCK_MS,
+        interval_ms=material.INTERVAL_MS,
+    )
+    snr = material.snr_db(golden[name], got, SKIP)
+    assert snr > 40.0, f"{name}: {snr:.1f} dB"
+
+
+@pytest.mark.skipif(not harness.available(), reason="no WASM execution path (gcc)")
+def test_fixtures_match_live_blob(golden):
+    """Fixture freshness: a live blob render must equal the committed one."""
+    from golden_wasm import native
+
+    name, rate, semitones, channels = material.CASES[0]
+    x = material.case_input(rate, channels)
+    n_out = int(material.SECONDS * material.SR)
+    ref = native.render_reference(
+        x, material.SR, n_out, rate=rate, semitones=semitones,
+        tonality_hz=material.TONALITY_HZ, block_ms=material.BLOCK_MS,
+        interval_ms=material.INTERVAL_MS, split_computation=True,
+    )
+    np.testing.assert_array_equal(ref, golden[name])
+
+
+@pytest.mark.skipif(not harness.available(), reason="no WASM execution path (gcc)")
 def test_reference_blob_executes():
     """The vendored wasm2c path must keep executing the blob: presetDefault
     constants are fixed by the library (block=0.12*sr, interval=0.03*sr)."""

@@ -1,0 +1,156 @@
+"""Unit tests for the blob-exact JAX spectral core (engine/spectral.py).
+
+The oracle is tools/golden_wasm/pymodel.py — itself pinned hop-exact
+against the live blob (tests/test_pymodel.py) — so these run with no
+compiler and no fixtures.  Tolerances reflect float32 vs float64 noise
+amplified by the band recurrence (measured ~1e-4 worst case).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tools")
+from golden_wasm.pymodel import ModelConfig, SpectralModel  # noqa: E402
+
+from bauklank_tpu.engine.fidelity import render_fidelity
+from bauklank_tpu.engine.spectral import (
+    SpectralConfig,
+    blob_window,
+    fft_size_for,
+    init_spectral_state,
+    spectral_hop,
+)
+
+import jax.numpy as jnp
+
+
+def _colored_spectra(rng, c, bands, fft, interval, rot_frac=0.7):
+    env = (
+        np.exp(-((np.arange(bands) - bands / 5) ** 2) / (2 * (bands / 20) ** 2))
+        + 0.3 * np.exp(-((np.arange(bands) - bands / 2.5) ** 2) / (2 * (bands / 30) ** 2))
+        + 0.01
+    )
+    si = ((rng.standard_normal((c, bands)) + 1j * rng.standard_normal((c, bands))) * env).astype(np.complex64)
+    ph = np.exp(-1j * 2 * np.pi * (np.arange(bands) + 0.5) * interval / fft * rot_frac)
+    sp = (si * ph + 0.01 * (rng.standard_normal((c, bands)) + 1j * rng.standard_normal((c, bands)))).astype(np.complex64)
+    return si, sp
+
+
+@pytest.mark.parametrize(
+    "channels,block,interval,semitones",
+    [(1, 512, 128, 0.0), (1, 512, 128, 12.0), (2, 512, 128, -7.0), (1, 500, 160, 5.0)],
+)
+def test_hop_matches_pymodel(channels, block, interval, semitones):
+    cfg = SpectralConfig(channels, block, interval)
+    ref_cfg = ModelConfig(channels, block, interval)
+    assert cfg.fft == ref_cfg.fft_size and cfg.bands == ref_cfg.bands
+    mult = float(np.exp2(semitones / 12.0))
+    limit = (8000.0 / 44100.0) / np.sqrt(mult)
+    rng = np.random.default_rng(7)
+    pm = SpectralModel(ref_cfg)
+    st = init_spectral_state(cfg)
+    tf = 1.0 / 0.7
+    for _ in range(4):
+        si, sp = _colored_spectra(rng, channels, cfg.bands, cfg.fft, interval)
+        ref = pm.hop(si.astype(complex), sp.astype(complex), tf,
+                     freq_multiplier=mult, freq_tonality_limit=limit)
+        st, out = spectral_hop(
+            cfg, st, jnp.asarray(si), jnp.asarray(sp),
+            jnp.float32(tf), jnp.float32(mult), jnp.float32(limit),
+        )
+        err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+        assert err < 2e-3, err
+
+
+def test_fft_size_rule():
+    # measured table from the blob (docs/WASM-ALGO.md "Sizes")
+    for block, fft in [(1000, 1024), (1025, 1280), (2200, 2560), (3100, 4096),
+                       (4097, 5120), (5292, 6144), (6000, 6144), (7000, 8192)]:
+        assert fft_size_for(block) == fft, block
+
+
+def test_blob_window_is_forced_cola():
+    for block, interval in [(512, 128), (5292, 1323), (500, 160)]:
+        w = blob_window(block, interval)
+        s = np.zeros(block)
+        for h in range(-block // interval - 2, block // interval + 3):
+            idx = np.arange(block) - h * interval
+            ok = (idx >= 0) & (idx < block)
+            s[ok] += w[idx[ok]] ** 2
+        np.testing.assert_allclose(s, 1.0, atol=1e-12)
+
+
+def test_identity_passthrough():
+    """Rate 1 / factor 1 file playback reproduces the input at ZERO lag:
+    the worklet drive pre-compensates both latencies in its inputTime math
+    (the seek window ends at round(inputTime*sr) + inputLatency with
+    outputTime already advanced by outputLatency), so scheduled input time
+    t plays at output time t — reference app/SignalsmithStretch.mjs:840,
+    891-936.  Measured best-lag is exactly 0."""
+    sr = 44100.0
+    n = int(1.2 * sr)
+    t = np.arange(n) / sr
+    x = (0.4 * np.sin(2 * np.pi * 330 * t) * (1 + 0.2 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)[None]
+    n_out = int(1.0 * sr)
+    out = render_fidelity(x, sr, n_out, rate=1.0, semitones=0.0)
+    skip = round(0.15 * sr) + 128  # ramp-in: block + interval
+    a = x[0, skip:n_out]
+    b = out[0, skip:n_out]
+    snr = 10 * np.log10(np.mean(a**2) / np.mean((a - b) ** 2))
+    assert snr > 45.0, snr
+
+
+def test_node_fidelity_matches_offline():
+    """StretchNode(engine='fidelity') streaming == render_fidelity offline
+    for a constant-rate schedule (same frame-end drive, same core)."""
+    from bauklank_tpu.node import StretchNode
+
+    sr = 44100.0
+    t = np.arange(int(1.5 * sr)) / sr
+    x = (0.3 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    rate, semitones = 0.8, 4.0
+    node = StretchNode(sample_rate=sr, channels=1, engine="fidelity")
+    node.configure(blockMs=512 / 44.1, intervalMs=128 / 44.1)
+    assert node.block_samples == 512 and node.interval_samples == 128
+    node.add_buffers([x])
+    node.start(when=0.0, offset=0.0, rate=rate, semitones=semitones)
+    n_out = 128 * 64
+    got = node.process_output(n_out)
+
+    ref = render_fidelity(
+        x[None], sr, n_out, rate=rate, semitones=semitones,
+        block_ms=512 / 44.1, interval_ms=128 / 44.1,
+    )
+    # drives differ only in inputTime sampling granularity (per hop vs per
+    # 128-sample browser quantum); with interval == quantum they coincide
+    assert np.abs(got - ref).max() < 1e-4, np.abs(got - ref).max()
+
+
+def test_pool_fidelity_voice_matches_node():
+    """StreamPool(engine='fidelity') per-voice output == the single node."""
+    from bauklank_tpu.node import StretchNode
+    from bauklank_tpu.serve.pool import StreamPool
+    from bauklank_tpu.engine.config import StretchConfig
+
+    sr = 44100.0
+    t = np.arange(int(1.0 * sr)) / sr
+    x = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    cfg = StretchConfig(channels=1, block=512, interval=128)
+    pool = StreamPool(capacity=2, sample_rate=sr, channels=1, config=cfg,
+                      max_track_sec=2.0, engine="fidelity")
+    assert pool.scfg.block == 512
+    pool.load_track("s00", [x])
+    pool.schedule("s00", {"active": True, "input": 0.0, "output": 0.0,
+                          "rate": 0.8, "semitones": 4.0})
+    chunks = [pool.step()[1][0] for _ in range(16)]
+    got = np.concatenate([np.asarray(c) for c in chunks], axis=-1)
+
+    node = StretchNode(sample_rate=sr, channels=1, engine="fidelity")
+    node.configure(block=512, interval=128)
+    node.add_buffers([x])
+    node.schedule({"active": True, "input": 0.0, "output": 0.0,
+                   "rate": 0.8, "semitones": 4.0})
+    ref = node.process_output(16 * 128)
+    assert np.abs(got - ref).max() < 1e-4, np.abs(got - ref).max()

@@ -1,0 +1,63 @@
+"""Golden test material + the fixture case matrix.
+
+The material is TONAL by design: the reference renderer's phase recurrence
+chaotically amplifies the phase of noise bands (~1000x per hop in-spectrum,
+measured — docs/WASM-ALGO.md "Sensitivity"), so broadband-noise material
+makes time-domain SNR against it saturate near -25..-40 dB for ANY
+reimplementation.  Harmonic material keeps the recurrence contractive,
+which is also the instrument's actual use case (music at extreme stretch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SR = 44100.0
+
+#: the golden case matrix: (name, rate, semitones, channels)
+CASES = [
+    ("r05_st0", 0.5, 0.0, 1),
+    ("r05_stm12", 0.5, -12.0, 1),
+    ("r05_stp12", 0.5, 12.0, 1),
+    ("r10_st0", 1.0, 0.0, 1),
+    ("r10_stm12", 1.0, -12.0, 1),
+    ("r10_stp12", 1.0, 12.0, 1),
+    ("r20_st0", 2.0, 0.0, 1),
+    ("r20_stm12", 2.0, -12.0, 1),
+    ("r20_stp12", 2.0, 12.0, 1),
+    ("stereo_r07_stp5", 0.7, 5.0, 2),
+    ("stereo_r15_stm12", 1.5, -12.0, 2),
+]
+
+SECONDS = 2.0
+BLOCK_MS = 120.0
+INTERVAL_MS = 30.0
+TONALITY_HZ = 8000.0
+
+
+def golden_signal(n: int, channel: int = 0) -> np.ndarray:
+    """Deterministic harmonic two-note chord with per-harmonic AM; stereo
+    channels get a small detune + phase offset so inter-channel phase
+    locking is exercised."""
+    t = np.arange(n) / SR
+    detune = 1.5 * channel
+    phase = 0.9 * channel
+    x = np.zeros(n)
+    for f0, a in ((220.0 + detune, 0.25), (330.0 + detune, 0.18)):
+        for k in range(1, 4):
+            x += (
+                (a / k)
+                * np.sin(2 * np.pi * f0 * k * t + 0.1 * k + phase)
+                * (1 + 0.15 * np.sin(2 * np.pi * (1.5 + 0.3 * k) * t))
+            )
+    return x.astype(np.float32)
+
+
+def case_input(rate: float, channels: int, seconds: float = SECONDS) -> np.ndarray:
+    n = int(seconds * SR * max(rate, 1.0)) + int(SR)
+    return np.stack([golden_signal(n, c) for c in range(channels)])
+
+
+def snr_db(ref: np.ndarray, got: np.ndarray, skip: int) -> float:
+    a, b = ref[..., skip:], got[..., skip:]
+    return float(10 * np.log10(np.mean(a**2) / max(np.mean((a - b) ** 2), 1e-30)))

@@ -280,22 +280,18 @@ class SpectralModel:
         pred_energy = np.zeros((cfg.channels, cfg.bands))
         pred_input = np.zeros((cfg.channels, cfg.bands), complex)
         timepred = np.zeros((cfg.channels, cfg.bands), complex)
-        running_max = self.prev_pred_energy.copy()  # stale buffer contents
         for c in range(cfg.channels):
             e_interp = get_fractional(energy_c[c].astype(complex), input_bin).real
             pred_energy[c] = e_interp * np.maximum(grad, 0.0)
             pred_input[c] = get_fractional(spec_in[c], input_bin)
             prev_interp = get_fractional(spec_prev[c], input_bin)
             tw = pred_input[c] * np.conj(prev_interp)
-            stale = running_max[c - 1] if c > 0 else self.prev_pred_energy[-1]
-            den = np.maximum(pred_energy[c], stale) + EPS
+            # the prediction buffer is PER CHANNEL ([C][B], verified by
+            # stereo memory dump at 6660): the denominator reads it before
+            # this hop overwrites it, i.e. each channel sees
+            # max(own energy now, own energy last hop)
+            den = np.maximum(pred_energy[c], self.prev_pred_energy[c]) + EPS
             timepred[c] = p_out[c] * tw / den
-            running_max[c] = pred_energy[c]  # buffer now holds this channel
-
-        # NOTE on the stale max: the prediction buffer is shared across
-        # channels; channel c sees max(pred_energy[c], value left by the
-        # previous channel this hop, or by the last channel of the previous
-        # hop for c == 0).  Verified mono; stereo order asserted in tests.
 
         # step 7: sequential vertical phase propagation + makeOutput
         out = timepred.copy()  # upper neighbors read time predictions
