@@ -221,6 +221,16 @@ def _find_peaks_map(energy: jnp.ndarray, smoothed: jnp.ndarray,
     return input_bin, grad
 
 
+def _take_along_last(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis(-1) that works for complex64 on the TPU backend
+    (complex gather is unimplemented there — gather real/imag separately)."""
+    if jnp.iscomplexobj(arr):
+        re = jnp.take_along_axis(jnp.real(arr), idx, axis=-1)
+        im = jnp.take_along_axis(jnp.imag(arr), idx, axis=-1)
+        return jax.lax.complex(re, im)
+    return jnp.take_along_axis(arr, idx, axis=-1)
+
+
 def _get_fractional(arr: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """Complex/real linear interpolation over the last axis with zeros
     outside [0, B) — the blob's getFractional.  arr [..., B], pos [..., B]."""
@@ -232,9 +242,7 @@ def _get_fractional(arr: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
 
     def at(idx):
         ok = (idx >= 0) & (idx < b)
-        v = jnp.take_along_axis(
-            arr, jnp.clip(idx, 0, b - 1), axis=-1
-        )
+        v = _take_along_last(arr, jnp.clip(idx, 0, b - 1))
         return v * ok.astype(v.dtype)
 
     return at(i0) * (1.0 - frac) + at(i0 + 1) * frac
@@ -294,8 +302,10 @@ def spectral_hop(
     down_l = _get_fractional(spec_in, pos - bts * long_step)
     mc = jnp.argmax(pred_energy, axis=0)              # [B] leading channel
 
-    def sel(arr):  # arr [C, B] -> [B] at channel mc[b]
-        return jnp.take_along_axis(arr, mc[None], axis=0)[0]
+    onehot_mc = (jnp.arange(c_n)[:, None] == mc[None, :])  # [C, B] bool
+
+    def sel(arr):  # arr [C, B] -> [B] at channel mc[b] (complex-gather-free)
+        return jnp.sum(arr * onehot_mc.astype(jnp.float32), axis=0)
 
     d1 = sel(pred_input * jnp.conj(down_s))           # lower, short
     d2 = sel(pred_input * jnp.conj(down_l))           # lower, long
@@ -325,11 +335,12 @@ def spectral_hop(
     def body(ring, x):
         d1b, d2b, ub, peb, pib, mcb, lockb, pec, pic, hs, hl = x
         # ring: [long_step, C] finalized outputs of the last long_step bands
-        out_m1 = ring[-1]  # band b-1, per channel
-        out_mL = ring[0]   # band b-long_step
+        oh = (jnp.arange(c_n) == mcb).astype(jnp.float32)
+        out_m1 = jnp.sum(ring[-1] * oh)  # band b-1, leader channel
+        out_mL = jnp.sum(ring[0] * oh)   # band b-long_step
         ph = ub
-        ph = ph + jnp.where(hs, out_m1[mcb] * d1b, 0.0)
-        ph = ph + jnp.where(hl, out_mL[mcb] * d2b, 0.0)
+        ph = ph + jnp.where(hs, out_m1 * d1b, 0.0)
+        ph = ph + jnp.where(hl, out_mL * d2b, 0.0)
         p2 = jnp.square(jnp.abs(ph))
         tiny = p2 <= EPS
         ph = jnp.where(tiny, pib, ph)

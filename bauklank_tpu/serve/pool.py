@@ -317,10 +317,41 @@ class StreamPool:
                 self.config, self.states, self._device_audio(), jnp.asarray(packed)
             )
         self.out_pos += h * interval
+        self._last_streams = streams  # device-resident; analyzed on demand
         if fetch:
             master = np.asarray(master)
         self.timer.tick(self.capacity * h * interval)
         return master, streams
+
+    # ------------------------------------------------------------- analyze
+    def analyze(self, slot: str, n_buckets: int = 128) -> dict | None:
+        """Scope/spectrum/levels of a voice's last rendered chunk — the
+        servable form of the reference's (disabled) Scope visualizer
+        (app/Scope.mjs:362-428; meters piped via postMessage :398-428).
+        Computed on device from the retained chunk; one d2h per request."""
+        if slot not in self._by_name or getattr(self, "_last_streams", None) is None:
+            return None
+        from bauklank_tpu.ops import analyze as analyze_ops
+
+        i = self._by_name[slot]
+        sig = self._last_streams[i]              # [C, n] device
+        mono = jnp.mean(sig, axis=0)
+        n = int(mono.shape[-1])
+        n_fft = 1 << max(4, (n.bit_length() - 1))
+        n_fft = min(n_fft, 2048)
+        scope = np.asarray(analyze_ops.scope_buckets(mono, min(n_buckets, n)))
+        spectrum = np.asarray(analyze_ops.spectrum_db(mono, n_fft=n_fft))
+        lv = analyze_ops.levels(sig)
+        return {
+            "slot": slot,
+            "scope": [[round(float(a), 5), round(float(b), 5)] for a, b in scope],
+            "spectrum": [round(float(v), 1) for v in spectrum],
+            "spectrumHzPerBin": self.sample_rate / n_fft,
+            "levels": {
+                "rms": [round(float(v), 6) for v in np.asarray(lv["rms"])],
+                "peak": [round(float(v), 6) for v in np.asarray(lv["peak"])],
+            },
+        }
 
     def metrics(self) -> dict:
         """Rolling serving metrics: step p50/p99 latency + aggregate RTF."""

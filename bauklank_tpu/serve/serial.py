@@ -156,12 +156,19 @@ class SerialSession:
         channels: list[str],
         forward: Callable[[dict], None],
         liveness: EncoderLiveness | None = None,
+        engine_map: dict[str, str] | None = None,
     ) -> None:
+        # engine_map: optional local-channel -> engine-slot routing.  None
+        # (deployed reference semantics) forwards channel == engine
+        # (server-multi.py:857-858); the multi-controller mode pins every
+        # local channel of this controller to its allocated slot
+        # (server-multi-for-2-controllers_OLD.py:497).
         self.transport = transport
         self.hello = hello
         self.channels = channels
         self.forward = forward
         self.liveness = liveness or EncoderLiveness(channels)
+        self.engine_map = engine_map
         self.counters: dict[str, int] = {}  # per-key digest counters (:774-804)
 
     def pump(self, max_lines: int = 256) -> int:
@@ -177,14 +184,17 @@ class SerialSession:
                 continue
             ch = msg.get("channel")
             key = msg.get("key")
-            if ch not in self.channels or not isinstance(key, str):
+            if not isinstance(key, str) or not isinstance(ch, str):
+                continue
+            engine = self.engine_map.get(ch) if self.engine_map is not None else ch
+            if engine is None or engine not in self.channels:
                 continue
             value = protocol.normalize_set_value(key, msg.get("value"))
             if value is None:
                 continue
             if key == "rate":
-                self.liveness.saw_rate(ch)
+                self.liveness.saw_rate(engine)
             self.counters[key] = self.counters.get(key, 0) + 1
-            self.forward(protocol.set_msg(ch, key, value))
+            self.forward(protocol.set_msg(ch, key, value, engine=engine))
             n += 1
         return n

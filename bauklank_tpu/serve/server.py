@@ -7,8 +7,13 @@ The TPU-side equivalent of the reference's serial<->WebSocket bridge
   ``controllerStatus`` / ``set`` to every client, with dead-socket reaping
   (reference :441-455) and on-connect status beacons (:474-485);
 - a controller-scan task that probes transports every 2 s with the
-  whoareyou/hello handshake and attaches at most one controller
-  (:888-915), detaching on read errors (:863-885);
+  whoareyou/hello handshake (:888-915), detaching on read errors
+  (:863-885).  Unlike the deployed reference (one controller max), N
+  controllers attach CONCURRENTLY — the semantics of the reference's
+  shelved multi-controller server (server-multi-for-2-controllers_OLD.py:
+  468-495, 642-698): pinned device->slot mapping first, then first-free
+  slot, conflict detection, per-controller line pumps, detach/reattach
+  preserving assignments via the pin map;
 - encoder-liveness and machine-status refresh tasks (:458-471, :680-719)
   and a 60 s heartbeat log line (:664-677).
 
@@ -77,7 +82,25 @@ class ControlServer:
         topology=None,
         serial_exclude: Iterable[str] = (),
         scan_hardware: bool = True,
+        controller_mode: str = "channel",
+        pinned_slots: dict[str, str] | None = None,
+        max_controllers: int | None = None,
     ) -> None:
+        # controller_mode:
+        #   "channel" — the deployed reference semantics: ONE controller
+        #     whose serial `channel` field addresses the engine slots
+        #     directly (server-multi.py: CONTROLLER drives channels A+B).
+        #   "slot" — the shelved N-controller semantics: each attached
+        #     controller is allocated ONE engine slot (pinned_slots mapping
+        #     first — the reference's DEVICE_ID_TO_ENGINE — then first
+        #     free); all its messages route to that slot
+        #     (server-multi-for-2-controllers_OLD.py:468-495,642-698).
+        if controller_mode not in ("channel", "slot"):
+            raise ValueError(f"unknown controller_mode {controller_mode!r}")
+        self.controller_mode = controller_mode
+        if max_controllers is None:
+            max_controllers = 1 if controller_mode == "channel" else len(engine_slots or ["A"])
+        self.max_controllers = max_controllers
         # hardware scan: when no in-memory transports are registered and
         # pyserial is available, candidate ports are probed every scan tick
         # (reference: server-multi.py:581-583, 888-915 with
@@ -102,9 +125,9 @@ class ControlServer:
         self.ws_host = ws_host
         self.ws_port = ws_port
         self.clients: set = set()
-        self.allocator = SlotAllocator(self.engine_slots)
+        self.allocator = SlotAllocator(self.engine_slots, pinned=pinned_slots)
         self.liveness = EncoderLiveness(self.engine_slots)
-        self.session: SerialSession | None = None
+        self.sessions: dict[str, SerialSession] = {}  # device_id -> session
         self._transports = list(transports or [])
         self._last_controller_status: dict | None = None
         self._msg_count = 0
@@ -132,21 +155,39 @@ class ControlServer:
         for ws in dead:  # reap like the reference (:448-455)
             self.clients.discard(ws)
 
+    @property
+    def session(self) -> SerialSession | None:
+        """First attached session (single-controller compatibility view)."""
+        return next(iter(self.sessions.values()), None)
+
     def controller_status(self) -> dict:
-        attached = self.session is not None
-        device_id = self.session.hello.get("deviceId") if attached else None
+        first = self.session
+        attached = first is not None
+        device_id = first.hello.get("deviceId") if attached else None
         encoder_ids = None
         if self.topology is not None and device_id is not None:
             encoder_ids = self.topology.channel_encoder_ids(device_id)
-        return protocol.controller_status_msg(
+        msg = protocol.controller_status_msg(
             connected=attached,
-            port=getattr(self.session.transport, "device_id", "mem") if attached else None,
+            port=getattr(first.transport, "device_id", "mem") if attached else None,
             device_id=device_id,
-            fw=self.session.hello.get("fw") if attached else None,
+            fw=first.hello.get("fw") if attached else None,
             engines=self.engine_slots,
             encoder_ages_ms=self.liveness.ages_ms(),
             encoder_device_ids=encoder_ids,
         )
+        # multi-controller extension (the reference wire shape keeps the
+        # single-controller fields above for its UI; the shelved OLD server
+        # logged per-controller state — here every attachment is reported)
+        msg["controllers"] = [
+            {
+                "deviceId": dev,
+                "fw": s.hello.get("fw"),
+                "slot": self.allocator.slot_of(dev),
+            }
+            for dev, s in self.sessions.items()
+        ]
+        return msg
 
     # ------------------------------------------------------------- handlers
     async def ws_handler(self, websocket) -> None:
@@ -164,11 +205,24 @@ class ControlServer:
                     log.info("📡 client hello: %s", msg.get("engineSlots"))
                 elif msg.get("type") == "set":
                     await self._handle_set(msg, from_ws=True)
+                elif msg.get("type") == "analyze":
+                    # monitoring request (the servable Scope, C13): reply to
+                    # the requesting client only — not broadcast
+                    result = (
+                        self.pool.analyze(str(msg.get("slot", "")))
+                        if self.pool is not None else None
+                    )
+                    await websocket.send(json.dumps(
+                        {"type": "analysis", **(result or {"slot": msg.get("slot"), "error": "unavailable"})}
+                    ))
         finally:
             self.clients.discard(websocket)
 
     async def _handle_set(self, msg: dict, from_ws: bool = False) -> None:
-        channel = msg.get("channel") or msg.get("engine")
+        # prefer the engine tag: serial routing may map a controller's local
+        # channel onto a different slot (the app layer likewise dispatches
+        # on `engine` — reference app/multi/app.mjs:850-886)
+        channel = msg.get("engine") or msg.get("channel")
         key = msg.get("key")
         value = msg.get("value")
         if channel not in self.engine_slots or not isinstance(key, str):
@@ -181,7 +235,7 @@ class ControlServer:
         if self.pool is not None:
             pool_key = {"tone": "semitones", "volume": "volumePercent"}.get(key, key)
             self.pool.apply_set(channel, pool_key, value)
-        out = protocol.set_msg(channel, key, value)
+        out = protocol.set_msg(msg.get("channel") or channel, key, value, engine=channel)
         await self.broadcast(out)
 
     def _forward_from_serial(self, msg: dict) -> None:
@@ -197,74 +251,123 @@ class ControlServer:
     def _log_serial_digest(self) -> None:
         """Per-key message-count deltas, the reference's digest mode
         (server-multi.py:774-804)."""
-        if self.session is None or self.serial_log != "digest":
+        if not self.sessions or self.serial_log != "digest":
             return
         now = time.monotonic()
         if now - self._digest_last < 10.0:
             return
+        counters: dict[str, int] = {}
+        for s in self.sessions.values():
+            for k, v in s.counters.items():
+                counters[k] = counters.get(k, 0) + v
         deltas = {
             k: v - self._digest_base.get(k, 0)
-            for k, v in self.session.counters.items()
+            for k, v in counters.items()
             if v - self._digest_base.get(k, 0)
         }
         if deltas:
             log.info("📟 serial digest (10s): %s", deltas)
-        self._digest_base = dict(self.session.counters)
+        self._digest_base = counters
         self._digest_last = now
 
     # --------------------------------------------------------------- tasks
     def _candidate_transports(self) -> list:
-        """Registered in-memory transports plus freshly-opened hardware
-        ports (pyserial-gated)."""
-        candidates = list(self._transports)
-        if self.scan_hardware and not candidates:
+        """Registered in-memory transports (minus already-attached ones —
+        the OLD multi-controller server probes only unattached ports,
+        :642-698) plus freshly-opened hardware ports (pyserial-gated)."""
+        attached = {id(s.transport) for s in self.sessions.values()}
+        candidates = [t for t in self._transports if id(t) not in attached]
+        if self.scan_hardware and not self._transports:
             from bauklank_tpu.serve.serial import list_pyserial_ports, open_pyserial
 
+            open_ports = {
+                getattr(s.transport, "port", None) for s in self.sessions.values()
+            }
             for port in list_pyserial_ports(exclude=self.serial_exclude):
+                if port in open_ports:
+                    continue
                 try:
                     candidates.append(open_pyserial(port))
                 except Exception:
                     log.debug("🧪 could not open %s", port)
         return candidates
 
+    def _attach(self, transport, hello: dict) -> bool:
+        dev = hello.get("deviceId", "?")
+        slot = self.allocator.assign(dev)
+        if self.controller_mode == "slot" and slot is None:
+            log.warning("📟 controller %s rejected: no free slot", dev)
+            return False
+        engine_map = None
+        if self.controller_mode == "slot":
+            # every local channel of this controller drives its one slot
+            engine_map = {ch: slot for ch in ("A", "B", *self.engine_slots)}
+        self.sessions[dev] = SerialSession(
+            transport, hello, self.engine_slots, self._forward_from_serial,
+            self.liveness, engine_map=engine_map,
+        )
+        log.info("📟 controller attached: %s fw=%s slot=%s", dev, hello.get("fw"), slot)
+        return True
+
+    def _detach(self, dev: str) -> None:
+        s = self.sessions.pop(dev, None)
+        if s is None:
+            return
+        log.warning("📟 controller detached: %s", dev)
+        self.allocator.release(dev)
+        try:
+            s.transport.close()
+        except Exception:
+            pass
+        if not self.sessions:
+            self.liveness.clear()
+
     async def serial_manager_task(self) -> None:
-        """Probe/attach loop (reference :888-915) + line pump."""
+        """Probe/attach loop (reference :888-915) + line pumps.  N
+        controllers run concurrently (the shelved OLD server's semantics:
+        one serial task per attached controller — here one cooperative pump
+        per session on the single loop)."""
+        last_scan = -1e30
         while not self._stop.is_set():
-            if self.session is None:
+            now = time.monotonic()
+            if len(self.sessions) < self.max_controllers and (
+                now - last_scan >= SERIAL_SCAN_SEC or not self.sessions
+            ):
+                last_scan = now
+                changed = False
                 for t in self._candidate_transports():
-                    log.debug("🧪 probing %r", t)
-                    hello = probe_transport(t)
-                    if hello:
-                        self.session = SerialSession(
-                            t, hello, self.engine_slots, self._forward_from_serial, self.liveness
-                        )
-                        slot = self.allocator.assign(hello.get("deviceId", "?"))
-                        log.info(
-                            "📟 controller attached: %s fw=%s slot=%s",
-                            hello.get("deviceId"), hello.get("fw"), slot,
-                        )
-                        await self._push_controller_status(force=True)
+                    if len(self.sessions) >= self.max_controllers:
                         break
-                if self.session is None:
+                    log.debug("🧪 probing %r", t)
+                    try:
+                        hello = probe_transport(t)
+                    except OSError:
+                        # a dead registered transport: prune it for good
+                        if t in self._transports:
+                            self._transports.remove(t)
+                        continue
+                    if hello and hello.get("deviceId", "?") not in self.sessions:
+                        attached = self._attach(t, hello)
+                        changed = changed or attached
+                if changed:
+                    await self._push_controller_status(force=True)
+                if not self.sessions:
                     log.debug("🔎 scan: no controller")
                     await asyncio.sleep(SERIAL_SCAN_SEC)
                     continue
-            try:
-                n = self.session.pump()
-                self._log_serial_digest()
-            except OSError:
-                dev = self.session.hello.get("deviceId", "?")
-                log.warning("📟 controller detached: %s", dev)
-                self.allocator.release(dev)
+            total = 0
+            dead = []
+            for dev, s in list(self.sessions.items()):
                 try:
-                    self.session.transport.close()
-                except Exception:
-                    pass
-                self.session = None
-                self.liveness.clear()
+                    total += s.pump()
+                except OSError:
+                    dead.append(dev)
+            for dev in dead:
+                self._detach(dev)
+            if dead:
                 await self._push_controller_status(force=True)
-                continue
-            await asyncio.sleep(0.01 if n else 0.05)
+            self._log_serial_digest()
+            await asyncio.sleep(0.01 if total else 0.05)
 
     async def _push_controller_status(self, force: bool = False) -> None:
         msg = self.controller_status()
@@ -350,6 +453,11 @@ class ControlServer:
 
         if request.headers.get("Upgrade", "").lower() == "websocket":
             return None  # proceed with the WS handshake
+        if request.path.startswith("/status?analyze="):
+            slot = request.path.split("=", 1)[1]
+            result = self.pool.analyze(slot) if self.pool is not None else None
+            body = json.dumps(result or {"slot": slot, "error": "unavailable"})
+            return connection.respond(http.HTTPStatus.OK, body + "\n")
         if request.path == "/status":
             body = json.dumps(
                 {

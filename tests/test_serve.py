@@ -662,3 +662,120 @@ def test_ws_server_end_to_end():
                 pass
 
     asyncio.run(scenario())
+
+
+def test_concurrent_multi_controller_slots():
+    """Two controllers drive slots A and B simultaneously (the shelved
+    reference server's semantics: pinned map first, then first-free,
+    per-controller pumps — server-multi-for-2-controllers_OLD.py:468-495,
+    642-698); detach/reattach preserves the assignment via the pin map."""
+
+    async def scenario():
+        pool = _pool()
+        pool.load_track("A", [tone(440.0, int(SR), SR)] * 2)
+        pool.load_track("B", [tone(330.0, int(SR), SR)] * 2)
+        server = ControlServer(
+            pool=pool, engine_slots=["A", "B"], scan_hardware=False,
+            controller_mode="slot", pinned_slots={"enc-two": "B"},
+        )
+        fc1 = FakeController("enc-one")
+        fc2 = FakeController("enc-two")
+        server.add_transport(fc1)
+        server.add_transport(fc2)
+        task = asyncio.create_task(server.serial_manager_task())
+        await asyncio.sleep(0.1)
+        assert set(server.sessions) == {"enc-one", "enc-two"}
+        assert server.allocator.slot_of("enc-one") == "A"
+        assert server.allocator.slot_of("enc-two") == "B"
+
+        # both controllers turn their local channel A; routing must land on
+        # EACH controller's own slot
+        fc1.turn("A", "rate", 0.5)
+        fc2.turn("A", "rate", 0.25)
+        await asyncio.sleep(0.1)
+        seg_a = pool.slots[pool._by_name["A"]].timemap.segments[-1]
+        seg_b = pool.slots[pool._by_name["B"]].timemap.segments[-1]
+        assert seg_a.rate == 0.5 and seg_b.rate == 0.25
+
+        # status reports both controllers
+        status = server.controller_status()
+        assert {c["deviceId"]: c["slot"] for c in status["controllers"]} == {
+            "enc-one": "A", "enc-two": "B",
+        }
+
+        # detach enc-two; enc-one keeps working
+        fc2.close()
+        await asyncio.sleep(0.2)
+        assert set(server.sessions) == {"enc-one"}
+        fc1.turn("B", "volume", 50)  # local channel B still routes to slot A
+        await asyncio.sleep(0.1)
+        assert pool.slots[pool._by_name["A"]].volume == 0.5
+
+        # reattach as a fresh transport with the same deviceId: pin map
+        # returns it to slot B even though A..B scan order would differ
+        fc2b = FakeController("enc-two")
+        server.add_transport(fc2b)
+        await asyncio.sleep(2.5)  # next scan tick
+        assert server.allocator.slot_of("enc-two") == "B"
+        fc2b.turn("A", "tone", -7)
+        await asyncio.sleep(0.1)
+        seg_b = pool.slots[pool._by_name["B"]].timemap.segments[-1]
+        assert seg_b.semitones == -7
+        server.stop()
+        task.cancel()
+
+    asyncio.run(scenario())
+
+
+def test_channel_mode_attaches_single_controller():
+    """Deployed semantics: one controller max, channels address slots."""
+
+    async def scenario():
+        server = ControlServer(engine_slots=["A", "B"], scan_hardware=False)
+        server.add_transport(FakeController("enc-a"))
+        server.add_transport(FakeController("enc-b"))
+        task = asyncio.create_task(server.serial_manager_task())
+        await asyncio.sleep(0.1)
+        assert len(server.sessions) == 1  # max_controllers defaults to 1
+        server.stop()
+        task.cancel()
+
+    asyncio.run(scenario())
+
+
+def test_analyze_surface_ws():
+    """A WS client can request scope/spectrum/levels for a playing voice
+    (the servable form of reference C13, app/Scope.mjs:398-428)."""
+    import websockets
+
+    async def scenario():
+        port = _free_port()
+        pool = _pool()
+        pool.load_track("A", [tone(440.0, int(SR), SR)] * 2)
+        pool.start("A", when=0.0, offset=0.0, rate=1.0)
+        for _ in range(4):
+            pool.step()
+        server = ControlServer(pool=pool, engine_slots=["A", "B"],
+                               ws_host="127.0.0.1", ws_port=port,
+                               scan_hardware=False)
+        task = asyncio.create_task(server.run())
+        await asyncio.sleep(0.2)
+        async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+            # drain the three on-connect beacons
+            for _ in range(3):
+                json.loads(await asyncio.wait_for(ws.recv(), 2))
+            await ws.send(json.dumps({"type": "analyze", "slot": "A"}))
+            msg = json.loads(await asyncio.wait_for(ws.recv(), 5))
+            while msg.get("type") != "analysis":
+                msg = json.loads(await asyncio.wait_for(ws.recv(), 5))
+        assert msg["slot"] == "A"
+        assert len(msg["scope"]) > 0 and all(a <= b for a, b in msg["scope"])
+        spec = np.asarray(msg["spectrum"])
+        hz_per_bin = msg["spectrumHzPerBin"]
+        peak_hz = int(np.argmax(spec)) * hz_per_bin
+        assert abs(peak_hz - 440.0) < 2.5 * hz_per_bin, peak_hz
+        assert msg["levels"]["rms"][0] > 0.0
+        server.stop()
+        task.cancel()
+
+    asyncio.run(scenario())
