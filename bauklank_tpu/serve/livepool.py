@@ -69,6 +69,41 @@ class LivePool:
 
         self.timer = StepTimer(sample_rate)
 
+    # -------------------------------------------------- slot lifecycle
+    def clear_voice(self, slot: str) -> None:
+        """Reset one live voice (engine state, input FIFO, time map) so the
+        batch row can be reused (reference reset-on-configure semantics,
+        app/SignalsmithStretch.mjs:791-792)."""
+        i = self._by_name[slot]
+        one = init_live_state(self.config, self.hops_per_step)
+        self.states = jax.tree.map(lambda a, o: a.at[i].set(o), self.states, one)
+        self.timemaps[i] = TimeMap()
+        self._in_fifo[i] = np.zeros((self.config.channels, 0), np.float32)
+
+    def grow(self, new_capacity: int) -> None:
+        """Extend capacity in place, preserving existing voices bit-exactly
+        (config-bucket growth in the unified pool); next step recompiles."""
+        if new_capacity <= self.capacity:
+            return
+        pad = new_capacity - self.capacity
+        one = init_live_state(self.config, self.hops_per_step)
+        extra = jax.tree.map(lambda x: jnp.broadcast_to(x, (pad,) + x.shape), one)
+        self.states = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), self.states, extra
+        )
+        taken = set(self._by_name)
+        k = self.capacity
+        while len(self.names) < new_capacity:
+            name = f"l{k:02d}"
+            k += 1
+            if name not in taken:
+                self.names.append(name)
+        self._by_name = {n: i for i, n in enumerate(self.names)}
+        c = self.config.channels
+        self.timemaps.extend(TimeMap() for _ in range(pad))
+        self._in_fifo.extend(np.zeros((c, 0), np.float32) for _ in range(pad))
+        self.capacity = new_capacity
+
     def feed(self, slot: str, chunk) -> None:
         """Queue live input samples for one stream ([C, n] or [n])."""
         i = self._by_name[slot]

@@ -172,6 +172,11 @@ class StreamPool:
         else:
             self.states = init_batched_state(self.config, capacity)
         self.out_pos = 0  # output samples stepped so far
+        from collections import deque
+
+        # in-flight masters for the pipelined fetch mode (step(fetch="pipeline"))
+        self.pipeline_depth = 2
+        self._fetch_q: deque = deque()
         from bauklank_tpu.utils.metrics import StepTimer
 
         self.timer = StepTimer(sample_rate)
@@ -196,6 +201,57 @@ class StreamPool:
         self.slots[i].track_len = 0
         self.slots[i].loaded = False
         self._audio_dev = None
+
+    # -------------------------------------------------- slot lifecycle
+    def _init_one_state(self):
+        if self.engine == "fidelity":
+            from bauklank_tpu.engine.fidelity import init_batched_fidelity_state
+
+            return init_batched_fidelity_state(self.scfg, 1)
+        return init_batched_state(self.config, 1)
+
+    def clear_voice(self, slot: str) -> None:
+        """Fully reset one voice (engine state, audio, time map, mix) so its
+        batch row can be reused — the reference resets the whole engine on
+        reconfigure (app/SignalsmithStretch.mjs:791-792); here only the one
+        row resets."""
+        i = self._by_name[slot]
+        self._audio_host[i] = 0.0
+        self._audio_dev = None
+        self.slots[i] = VoiceSlot(slot)
+        one = self._init_one_state()
+        self.states = jax.tree.map(lambda a, o: a.at[i].set(o[0]), self.states, one)
+
+    def grow(self, new_capacity: int) -> None:
+        """Extend capacity in place, preserving every existing voice's state
+        bit-exactly (config-bucket growth in the unified pool).  Changes the
+        batch shape, so the next step recompiles."""
+        if new_capacity <= self.capacity:
+            return
+        pad = new_capacity - self.capacity
+        c, t = self._audio_host.shape[1:]
+        self._audio_host = np.concatenate(
+            [self._audio_host, np.zeros((pad, c, t), np.float32)]
+        )
+        self._audio_dev = None
+        taken = set(self._by_name)
+        k = self.capacity
+        while len(self.slots) < new_capacity:
+            name = f"s{k:02d}"
+            k += 1
+            if name not in taken:
+                self.slots.append(VoiceSlot(name))
+        self._by_name = {s.name: i for i, s in enumerate(self.slots)}
+        if self.engine == "fidelity":
+            from bauklank_tpu.engine.fidelity import init_batched_fidelity_state
+
+            extra = init_batched_fidelity_state(self.scfg, pad)
+        else:
+            extra = init_batched_state(self.config, pad)
+        self.states = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), self.states, extra
+        )
+        self.capacity = new_capacity
 
     def _device_audio(self) -> jnp.ndarray:
         if self._audio_dev is None:
@@ -270,13 +326,26 @@ class StreamPool:
         return self.slots[self._by_name[slot]].timemap.input_time_at(self.output_time)
 
     # --------------------------------------------------------------- step
-    def step(self, fetch: bool = False):
+    def step(self, fetch: bool | str = False):
         """Render the next chunk for every voice.
 
         Returns (master [2, n], streams [S, C, n]); n = hops_per_step *
         interval.  With ``fetch=True`` the master mix is materialized to
         numpy (fencing the device work — honest latency accounting for the
         serving loop; see utils.metrics).
+
+        ``fetch="pipeline"`` double-buffers the device->host transfer: the
+        current master's copy is *started* asynchronously and the master
+        from ``pipeline_depth`` steps ago is returned (None while the
+        pipeline fills).  On remote-attached devices the transfer round
+        trip — not the 2-3 ms device step — dominates blocking-fetch
+        latency (docs/STATUS-r1.md config 4); giving each transfer
+        ``depth`` steps of lead time hides it, at the cost of
+        depth * hops_per_step * interval samples of extra output latency.
+        The reference's real-time contract is the analogous one-quantum
+        pipeline of the audio render thread (app/SignalsmithStretch.mjs:
+        820-826: each process() call produces the quantum the DAC plays
+        next, never the one currently sounding).
         """
         self.timer.start()
         sr = self.sample_rate
@@ -318,10 +387,25 @@ class StreamPool:
             )
         self.out_pos += h * interval
         self._last_streams = streams  # device-resident; analyzed on demand
-        if fetch:
+        if fetch == "pipeline":
+            master.copy_to_host_async()
+            self._fetch_q.append(master)
+            master = (
+                np.asarray(self._fetch_q.popleft())
+                if len(self._fetch_q) > self.pipeline_depth
+                else None
+            )
+        elif fetch:
             master = np.asarray(master)
         self.timer.tick(self.capacity * h * interval)
         return master, streams
+
+    def drain(self) -> list[np.ndarray]:
+        """Materialize any masters still in the fetch pipeline (call after
+        the last ``step(fetch="pipeline")`` so no rendered audio is lost)."""
+        out = [np.asarray(m) for m in self._fetch_q]
+        self._fetch_q.clear()
+        return out
 
     # ------------------------------------------------------------- analyze
     def analyze(self, slot: str, n_buckets: int = 128) -> dict | None:

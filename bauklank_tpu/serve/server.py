@@ -526,6 +526,10 @@ def _parse_args(argv=None):
                     help="disable hardware port scanning")
     ap.add_argument("--pool-capacity", type=int, default=0,
                     help="batched voice slots; 0 = control-plane only")
+    ap.add_argument("--pool", default="stream", choices=("stream", "unified"),
+                    help="stream = one shared engine config; unified = "
+                         "per-voice config buckets + live-input voices "
+                         "(set blockMs/overlap takes effect per voice)")
     return ap.parse_args(argv)
 
 
@@ -535,7 +539,12 @@ def main(argv=None) -> None:
     slots = ["A", "B"] if args.engine_count == 2 else [args.slot]
     pool = None
     if args.pool_capacity:
-        pool = StreamPool(capacity=args.pool_capacity, names=slots[: args.pool_capacity])
+        if args.pool == "unified":
+            from bauklank_tpu.serve.unified import UnifiedPool
+
+            pool = UnifiedPool(names=slots[: args.pool_capacity])
+        else:
+            pool = StreamPool(capacity=args.pool_capacity, names=slots[: args.pool_capacity])
     server = ControlServer(pool=pool, engine_slots=slots,
                            ws_host=args.ws_host, ws_port=args.ws_port,
                            serial_log=args.serial_log,

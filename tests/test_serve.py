@@ -779,3 +779,29 @@ def test_analyze_surface_ws():
         task.cancel()
 
     asyncio.run(scenario())
+
+
+def test_pool_pipelined_fetch_matches_blocking():
+    """step(fetch="pipeline") returns the same masters as blocking fetch,
+    delayed by pipeline_depth steps, with drain() flushing the tail."""
+
+    def run(mode):
+        pool = _pool()
+        pool.load_track("A", [tone(440.0, int(SR), SR)] * 2)
+        pool.load_track("B", [tone(330.0, int(SR), SR)] * 2)
+        pool.start("A", when=0.0, offset=0.0, rate=0.8)
+        pool.start("B", when=0.0, offset=0.0, rate=1.25, semitones=3)
+        masters = []
+        for _ in range(10):
+            m, _ = pool.step(fetch=mode)
+            if m is not None:
+                masters.append(np.asarray(m))
+        if mode == "pipeline":
+            masters.extend(pool.drain())
+        return masters
+
+    blocking = run(True)
+    pipelined = run("pipeline")
+    assert len(blocking) == len(pipelined) == 10
+    for a, b in zip(blocking, pipelined):
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,190 @@
+"""UnifiedPool: mixed file+live voices, per-voice config buckets, live
+reconfigure via `set blockMs`/`overlap` (reference app/multi/app.mjs:409-417,
+engine reset on configure app/SignalsmithStretch.mjs:791-792)."""
+
+import numpy as np
+import pytest
+
+from bauklank_tpu.serve.unified import UnifiedPool
+from tests.util import tone
+
+SR = 8000.0
+
+
+def _pool(**kw):
+    kw.setdefault("sample_rate", SR)
+    kw.setdefault("max_track_sec", 2.0)
+    kw.setdefault("quantum", 256)
+    return UnifiedPool(**kw)
+
+
+def _dominant_hz(x, sr=SR):
+    spec = np.abs(np.fft.rfft(x * np.hanning(x.shape[-1])))
+    return np.argmax(spec) * sr / x.shape[-1]
+
+
+def test_file_voices_mix_and_share_bucket():
+    pool = _pool(names=["A", "B"])
+    pool.load_track("A", [tone(440.0, int(SR), SR)] * 2)
+    pool.load_track("B", [tone(330.0, int(SR), SR)] * 2)
+    assert len(pool.buckets) == 1  # same default config -> one bucket
+    pool.start("A", when=0.0, offset=0.0, rate=1.0)
+    pool.start("B", when=0.0, offset=0.0, rate=1.0)
+    out = np.concatenate([pool.render(256) for _ in range(20)], axis=1)
+    assert out.shape == (2, 5120)
+    assert np.isfinite(out).all() and np.abs(out).max() > 1e-3
+
+
+def test_set_block_ms_moves_bucket_and_keeps_playing():
+    pool = _pool(names=["A", "B"])
+    for n, f in (("A", 440.0), ("B", 330.0)):
+        pool.load_track(n, [tone(f, int(2 * SR), SR)] * 2)
+        pool.start(n, when=0.0, offset=0.0, rate=1.0)
+    for _ in range(10):
+        pool.render(256)
+    key_before = pool.voices["A"].bucket_key
+    assert pool.apply_set("A", "blockMs", 60.0)
+    assert pool.apply_set("A", "overlap", 2.0)
+    key_after = pool.voices["A"].bucket_key
+    assert key_after != key_before and len(pool.buckets) == 2
+    cfg = pool.voice_config("A")
+    assert cfg["blockSamples"] >= round(SR * 0.06)  # fft-fast rounding >= requested
+    assert cfg["blockMs"] == 60.0 and cfg["overlap"] == 2.0
+    # the moved voice keeps rendering its schedule (time map survived)
+    out = np.concatenate([pool.render(256) for _ in range(30)], axis=1)
+    assert np.isfinite(out).all()
+    tail = out[0, -2048:]
+    assert np.abs(tail).max() > 1e-3
+    # both tones present in the mix
+    spec = np.abs(np.fft.rfft(tail * np.hanning(tail.shape[0])))
+    hz = np.arange(spec.shape[0]) * SR / tail.shape[0]
+    assert spec[(np.abs(hz - 440) < 12)].max() > 0.05 * spec.max()
+    assert spec[(np.abs(hz - 330) < 12)].max() > 0.05 * spec.max()
+
+
+def test_mixed_file_and_live_pool():
+    pool = _pool(names=["A"])
+    pool.load_track("A", [tone(440.0, int(2 * SR), SR)] * 2)
+    pool.start("A", when=0.0, offset=0.0, rate=1.0)
+    pool.add_voice("L", mode="live", volume=0.5)
+    pool.schedule("L", {"output": 0.0, "active": True})
+    assert len(pool.buckets) == 2  # one file bucket + one live bucket
+    chunks = []
+    src = tone(990.0, int(2 * SR), SR)
+    fed = 0
+    for _ in range(40):
+        pool.feed("L", src[fed : fed + 256])
+        fed += 256
+        chunks.append(pool.render(256))
+    out = np.concatenate(chunks, axis=1)
+    assert np.isfinite(out).all()
+    tail = out[0, -2048:]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(tail.shape[0])))
+    hz = np.arange(spec.shape[0]) * SR / tail.shape[0]
+    assert spec[np.abs(hz - 440) < 12].max() > 0.05 * spec.max()  # file voice
+    assert spec[np.abs(hz - 990) < 12].max() > 0.05 * spec.max()  # live voice
+
+
+def test_live_voice_pitch_shift_applies():
+    pool = _pool()
+    pool.add_voice("L", mode="live", volume=1.0)
+    pool.schedule("L", {"output": 0.0, "active": True})
+    assert pool.apply_set("L", "semitones", 12.0)
+    src = tone(300.0, int(4 * SR), SR)
+    fed = 0
+    chunks = []
+    for _ in range(60):
+        pool.feed("L", src[fed : fed + 256])
+        fed += 256
+        chunks.append(pool.render(256))
+    tail = np.concatenate(chunks, axis=1)[0, -4096:]
+    got = _dominant_hz(tail)
+    assert abs(got - 600.0) < 25.0, got  # +12 st doubles the pitch
+
+
+def test_bucket_growth_preserves_voices():
+    pool = _pool(bucket_capacity=2)
+    for k in range(5):
+        name = f"v{k}"
+        pool.add_voice(name)
+        pool.load_track(name, [tone(200.0 + 50 * k, int(SR), SR)] * 2)
+        pool.start(name, when=0.0, offset=0.0, rate=1.0)
+    (b,) = pool.buckets.values()
+    assert b.pool.capacity >= 5
+    out = np.concatenate([pool.render(256) for _ in range(16)], axis=1)
+    assert np.isfinite(out).all() and np.abs(out[0, -1024:]).max() > 1e-3
+
+
+def test_apply_set_validation_and_mode_switch():
+    pool = _pool(names=["A"])
+    assert not pool.apply_set("A", "blockMs", float("nan"))
+    assert not pool.apply_set("A", "blockMs", None)
+    assert not pool.apply_set("nope", "rate", 1.0)
+    assert pool.apply_set("A", "volumePercent", 50)
+    assert pool.voices["A"].volume == 0.5
+    # clamped to the UI range (app/multi/index.html:146-182)
+    assert pool.apply_set("A", "blockMs", 10000.0)
+    assert pool.voices["A"].block_ms == 500.0
+    pool.set_mode("A", "live")
+    assert pool.voices["A"].mode == "live"
+    assert pool.voices["A"].bucket_key[0] == "live"
+    pool.set_mode("A", "file")
+    assert pool.voices["A"].bucket_key[0] == "file"
+    # empty buckets are dropped once the last member leaves
+    assert all(b.members for b in pool.buckets.values())
+
+
+def test_remove_voice_frees_slot_and_bucket():
+    pool = _pool(names=["A", "B"])
+    pool.remove_voice("A")
+    pool.remove_voice("B")
+    assert not pool.buckets
+    pool.add_voice("C")
+    out = pool.render(256)
+    assert out.shape == (2, 256)
+
+
+def test_ws_set_block_ms_takes_effect_on_serving_voice():
+    """The VERDICT-#4 contract: a WS `set blockMs` on a serving voice moves
+    it to a new config bucket live (reference per-channel blockMs/overlap
+    sliders applied via configure, app/multi/app.mjs:409-417)."""
+    import asyncio
+    import json
+    import socket
+
+    import websockets
+
+    from bauklank_tpu.serve.server import ControlServer
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    async def scenario():
+        pool = _pool(names=["A", "B"])
+        pool.load_track("A", [tone(440.0, int(SR), SR)] * 2)
+        pool.start("A", when=0.0, offset=0.0, rate=1.0)
+        for _ in range(4):
+            pool.render(256)
+        server = ControlServer(pool=pool, engine_slots=["A", "B"],
+                               ws_host="127.0.0.1", ws_port=port,
+                               scan_hardware=False)
+        task = asyncio.create_task(server.run())
+        await asyncio.sleep(0.2)
+        before = pool.voices["A"].bucket_key
+        async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+            for _ in range(3):
+                await asyncio.wait_for(ws.recv(), 2)  # beacons
+            await ws.send(json.dumps(
+                {"type": "set", "channel": "A", "key": "blockMs", "value": 60}))
+            await ws.send(json.dumps(
+                {"type": "set", "channel": "A", "key": "overlap", "value": 2}))
+            await asyncio.sleep(0.2)
+        assert pool.voices["A"].bucket_key != before
+        assert pool.voice_config("A")["blockMs"] == 60.0
+        out = pool.render(512)  # still renders after the live reconfigure
+        assert np.isfinite(out).all()
+        server.stop()
+        task.cancel()
+
+    asyncio.run(scenario())
