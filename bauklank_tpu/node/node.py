@@ -267,13 +267,39 @@ class StretchNode:
         self.input_time = self.timemap.input_time_at(self.output_time)
         return out
 
+    def _params_equal(self, a: Segment, b: Segment) -> bool:
+        """True when two segments share every per-chunk parameter.
+
+        Timing fields (output/input anchors, rate, loop points) are encoded
+        per hop in the frame-end table, so a boundary that changes only
+        timing does NOT force a dispatch split in the fast engine — a whole
+        rate *schedule* rides one dispatch.  The fidelity engine consumes
+        rate as a spectral parameter (timeFactor), so rate splits there."""
+        same = (
+            a.active == b.active
+            and a.semitones == b.semitones
+            and a.tonality_hz == b.tonality_hz
+            and a.formant_semitones == b.formant_semitones
+            and a.formant_compensation == b.formant_compensation
+            and a.formant_base_hz == b.formant_base_hz
+        )
+        if self.engine == "fidelity":
+            same = same and a.rate == b.rate
+        return same
+
     def _hops_to_boundary(self) -> int:
-        """Hops renderable before the next time-map segment takes effect."""
+        """Hops renderable before a segment with *different parameters*
+        takes effect (rate-only boundaries render within one chunk)."""
         segs = self.timemap.segments
-        if len(segs) < 2:
+        next_out = None
+        for k in range(1, len(segs)):
+            if not self._params_equal(segs[k - 1], segs[k]):
+                next_out = segs[k].output
+                break
+        if next_out is None:
             return 1 << 30
         sr = self.sample_rate
-        next_out = segs[1].output - self.output_latency / sr
+        next_out -= self.output_latency / sr
         rendered = self._out_pos + self._fifo.shape[1]
         # hop h samples its params at (rendered + h*I + B/2)/sr (+latency)
         samples_left = (next_out * sr) - rendered - self.block_samples / 2

@@ -159,7 +159,7 @@ def config4(quick):
         master, _ = pool.step()
     float(jax.jit(lambda o: jnp.sum(jnp.abs(o)))(master))
     avg_nofetch = (time.perf_counter() - t0) / steps * 1e3
-    assert got == steps + 1  # every pipelined master materializes exactly once
+    assert got == steps  # every pipelined master materializes exactly once
     return {"config": 4, "metric": "stream_step_p99_ms", "value": m["p99_ms"],
             "unit": "ms", "p50_ms": m["p50_ms"], "hop_ms": round(hop_ms, 2),
             "blocking_p99_ms": mb["p99_ms"], "blocking_p50_ms": mb["p50_ms"],

@@ -94,3 +94,34 @@ def test_node_update_callback_fires():
     node.set_update_interval(0.1, times.append)
     node.process_output(int(0.5 * SR))
     assert len(times) >= 3
+
+
+def test_rate_schedule_rides_one_dispatch():
+    """Boundaries that change only timing (rate) no longer split dispatches:
+    a 9-segment rate sweep renders in big hop buckets, and the output
+    matches a hop-at-a-time render (chunking invariance across segments)."""
+    sr = 8000.0
+    x = tone(440.0, int(4 * sr), sr)
+    cfg = StretchConfig(channels=1, block=512, interval=128, formants=False)
+
+    def build():
+        node = StretchNode(sample_rate=sr, channels=1, config=cfg,
+                           hops_per_dispatch=1)
+        node.add_buffers([x])
+        node.start(when=0.0, offset=0.0, rate=0.5)
+        for k in range(9):
+            node.schedule({"output": k * 0.25, "rate": 0.5 + 1.5 * k / 8})
+        return node
+
+    fast = build()
+    calls = []
+    orig = fast._render_hops
+    fast._render_hops = lambda n: (calls.append(n), orig(n))[1]
+    out_fast = fast.process_output(int(2.0 * sr))
+    assert max(calls) >= 64, calls  # big buckets despite 8 boundaries
+
+    slow = build()
+    n = int(2.0 * sr)
+    out_slow = np.concatenate(
+        [slow.process_output(128) for _ in range(n // 128)], axis=1)
+    np.testing.assert_allclose(out_fast, out_slow, atol=1e-4)
