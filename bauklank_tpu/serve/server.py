@@ -470,21 +470,10 @@ class ControlServer:
             )
             return connection.respond(http.HTTPStatus.OK, body + "\n")
         if request.path == "/":
+            from bauklank_tpu.serve.statuspage import render_page
+
             ver = protocol.server_version_msg()["version"]
-            html = (
-                "<!doctype html><meta charset='utf-8'>"
-                "<title>bauklank_tpu</title>"
-                "<style>body{font:14px monospace;background:#111;color:#ddd;"
-                "padding:2em}</style>"
-                f"<h2>bauklank_tpu control plane</h2><p>version {ver}</p>"
-                "<pre id=s>loading…</pre>"
-                "<script>const s=document.getElementById('s');"
-                "async function tick(){const r=await fetch('/status');"
-                "s.textContent=JSON.stringify(await r.json(),null,2);}"
-                "tick();setInterval(tick,2000);"
-                "const ws=new WebSocket(`ws://${location.host}`);"
-                "ws.onmessage=e=>console.log(e.data);</script>"
-            )
+            html = render_page(ver, self.engine_slots)
             response = connection.respond(http.HTTPStatus.OK, html)
             response.headers["Content-Type"] = "text/html; charset=utf-8"
             return response

@@ -805,3 +805,36 @@ def test_pool_pipelined_fetch_matches_blocking():
     assert len(blocking) == len(pipelined) == 10
     for a, b in zip(blocking, pipelined):
         np.testing.assert_array_equal(a, b)
+
+
+def test_status_page_control_surface():
+    """GET / serves a control surface: per-channel inputs for the §2.5 key
+    space that send `set` over the WS (the reference UI shell's sliders +
+    reset buttons, app/multi/index.html:75-186)."""
+    import urllib.request
+
+    async def scenario():
+        port = _free_port()
+        server = ControlServer(pool=_pool(), engine_slots=["A", "B"],
+                               ws_host="127.0.0.1", ws_port=port,
+                               scan_hardware=False)
+        task = asyncio.create_task(server.run())
+        await asyncio.sleep(0.3)
+        body = (await asyncio.to_thread(
+            lambda: urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=5).read())).decode()
+        server.stop()
+        task.cancel()
+        return body
+
+    body = asyncio.run(scenario())
+    assert '["A", "B"]' in body  # slots injected into the page JS
+    for key in ("rate", "semitones", "tonalityHz", "formantSemitones",
+                "formantBaseHz", "volumePercent", "pan", "blockMs", "overlap"):
+        assert f'"{key}"' in body, key
+    for frag in ("type:'set'", "type:'analyze'", "msg/s", "buildPanels"):
+        assert frag in body, frag
+    # the page embeds valid JSON for slots and controls
+    import re
+    m = re.search(r"const slots = (\[.*?\]);", body)
+    assert m and json.loads(m.group(1)) == ["A", "B"]
