@@ -66,6 +66,9 @@ def _drive(semitones, rate, n_hops=12, seed=5):
         return arr.reshape(B, 7)
 
     model = SpectralModel(cfg)
+    # sync the model's MINSTD stream with the live engine (state addr 6672);
+    # only consumed when timeFactor > 2 (rate < 0.5)
+    model.rng_state = u32(6672)
     mult = float(np.exp2(semitones / 12.0))
     limit = float(f32(6172))
     errs = []
@@ -100,3 +103,13 @@ def test_pitch_up_hops_exact():
 
 def test_pitch_down_with_rate():
     assert _drive(semitones=-7.0, rate=1.25) < 1e-3
+
+
+def test_extreme_stretch_minstd_hops_exact():
+    """rate < 0.5 engages the blob's MINSTD-random vertical time step (the
+    kiosk regime); the model must replicate the exact draw stream."""
+    assert _drive(semitones=0.0, rate=0.25) < 1e-3
+
+
+def test_extreme_stretch_minstd_with_pitch():
+    assert _drive(semitones=5.0, rate=0.125) < 1e-3

@@ -225,6 +225,45 @@ class SpectralModel:
         self.prev_pred_energy[:] = 0
         self.smooth_carry = 0.0
 
+    # MINSTD vertical-step randomization (timeFactor > 2, i.e. rate < 0.5 —
+    # the kiosk regime).  Decoded from the translated blob (band loop, the
+    # two draw sites around wasm2c offsets t1287/t1374):
+    #   s' = 48271 * s mod 2147483647         (Schrage form in the blob)
+    #   value = f32(v46 * f32(u32(s'-1)) + v45)
+    #   v32 = max(f32(timeFactor), 0.5f)
+    #   v45 = (v32 > 2 ? 4.0f : 0.0f) - v32   -> uniform over ~[4-tf, tf]
+    #   v46 = (v32 - v45) * 2^-31f
+    # Draw order per hop: band 0 draws only the UP value; interior bands
+    # draw DOWN then UP; the last band draws only DOWN.  The down draw is
+    # shared by the short and long down predictions (long uses value*L);
+    # likewise the up draw.  Seeding: std::random_device bytes at startup
+    # reduced mod 2^31-1 (clamped to >= 1); the native shim pins the device
+    # bytes, and tests read the live state at address 6672.
+    def _minstd_draws(self, tf32: np.float32):
+        bands = self.cfg.bands
+        m = 2147483647
+        s = int(self.rng_state)
+        v32 = np.float32(max(tf32, np.float32(0.5)))
+        v45 = np.float32(
+            (np.float32(4.0) if v32 > np.float32(2.0) else np.float32(0.0)) - v32
+        )
+        v46 = np.float32((v32 - v45) * np.float32(2.0 ** -31))
+        d_down = np.zeros(bands)
+        d_up = np.zeros(bands)
+
+        def draw():
+            nonlocal s
+            s = (48271 * s) % m
+            return float(np.float32(v46 * np.float32(np.uint32(s - 1)) + v45))
+
+        for b in range(bands):
+            if b > 0:
+                d_down[b] = draw()
+            if b < bands - 1:
+                d_up[b] = draw()
+        self.rng_state = s
+        return d_down, d_up
+
     def hop(
         self,
         spec_in: np.ndarray,       # [C, bands] analysis at the current position
@@ -271,10 +310,14 @@ class SpectralModel:
             input_bin = b_idx.astype(np.float64)
             grad = np.ones(cfg.bands)
 
-        bts = min(max(time_factor, 0.5), 2.0)
+        tf32 = np.float32(time_factor)
         long_step = int(round(f / interval))
-        # (timeFactor > 2 engages the MINSTD random vertical step; golden
-        # configs stay within [0.5, 2], so it is not modeled here yet)
+        if tf32 > np.float32(2.0) and self.rng_state is not None:
+            d_down, d_up = self._minstd_draws(tf32)
+        else:
+            bts = float(min(max(tf32, np.float32(0.5)), np.float32(2.0)))
+            d_down = np.full(cfg.bands, bts)
+            d_up = np.full(cfg.bands, bts)
 
         # step 6: per-channel predictions + time-prediction into prev_output
         pred_energy = np.zeros((cfg.channels, cfg.bands))
@@ -293,25 +336,40 @@ class SpectralModel:
             den = np.maximum(pred_energy[c], self.prev_pred_energy[c]) + EPS
             timepred[c] = p_out[c] * tw / den
 
-        # step 7: sequential vertical phase propagation + makeOutput
+        # step 7: sequential vertical phase propagation + makeOutput.
+        # Four gather-position families (b = the band doing the predicting):
+        #   down-short: input_bin[b]   - d_down[b]
+        #   down-long:  input_bin[b]   - d_down[b]*L   (same draw, scaled)
+        #   up-short:   input_bin[b+1] - d_up[b]
+        #   up-long:    input_bin[b+L] - d_up[b]*L
+        # With the deterministic step (tf <= 2) these collapse to the shared
+        # shifted arrays (us[b] == ds[b+1] etc.).
         out = timepred.copy()  # upper neighbors read time predictions
-        down_s = np.stack([get_fractional(spec_in[c], input_bin - bts) for c in range(cfg.channels)])
-        down_l = np.stack([get_fractional(spec_in[c], input_bin - bts * long_step) for c in range(cfg.channels)])
+        us_pos = np.zeros(cfg.bands)
+        us_pos[: cfg.bands - 1] = input_bin[1:] - d_up[: cfg.bands - 1]
+        ul_pos = np.zeros(cfg.bands)
+        ul_pos[: cfg.bands - long_step] = (
+            input_bin[long_step:] - d_up[: cfg.bands - long_step] * long_step
+        )
+        ds = np.stack([get_fractional(spec_in[c], input_bin - d_down) for c in range(cfg.channels)])
+        dl = np.stack([get_fractional(spec_in[c], input_bin - d_down * long_step) for c in range(cfg.channels)])
+        us = np.stack([get_fractional(spec_in[c], us_pos) for c in range(cfg.channels)])
+        ul = np.stack([get_fractional(spec_in[c], ul_pos) for c in range(cfg.channels)])
         max_ch = np.argmax(pred_energy, axis=0)
         for b in range(cfg.bands):
             mc = int(max_ch[b])
             ph = 0j
             if b > 0:
-                ph += out[mc, b - 1] * (pred_input[mc, b] * np.conj(down_s[mc, b]))
+                ph += out[mc, b - 1] * (pred_input[mc, b] * np.conj(ds[mc, b]))
                 if b >= long_step:
-                    ph += out[mc, b - long_step] * (pred_input[mc, b] * np.conj(down_l[mc, b]))
+                    ph += out[mc, b - long_step] * (pred_input[mc, b] * np.conj(dl[mc, b]))
             if b < cfg.bands - 1:
                 ph += timepred[mc, b + 1] * np.conj(
-                    pred_input[mc, b + 1] * np.conj(down_s[mc, b + 1])
+                    pred_input[mc, b + 1] * np.conj(us[mc, b])
                 )
                 if b < cfg.bands - long_step:
                     ph += timepred[mc, b + long_step] * np.conj(
-                        pred_input[mc, b + long_step] * np.conj(down_l[mc, b + long_step])
+                        pred_input[mc, b + long_step] * np.conj(ul[mc, b])
                     )
             p2 = abs(ph) ** 2
             if p2 <= EPS:
