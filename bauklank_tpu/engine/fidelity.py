@@ -158,6 +158,9 @@ def fidelity_chunk(
     mult: jnp.ndarray,
     limit: jnp.ndarray,
     active: jnp.ndarray,      # scalar 0/1
+    formant_factor: jnp.ndarray | None = None,   # needs cfg.formants
+    formant_compensation: jnp.ndarray | None = None,
+    formant_base: jnp.ndarray | None = None,
 ):
     """Streaming step: render H hops, emit exactly H*interval samples.
 
@@ -178,7 +181,12 @@ def fidelity_chunk(
 
     def body(st, x):
         si, sp = x
-        st2, out = spectral_hop(cfg, st, si, sp, time_factor, mult, limit)
+        st2, out = spectral_hop(
+            cfg, st, si, sp, time_factor, mult, limit,
+            formant_factor=formant_factor,
+            formant_compensation=formant_compensation,
+            formant_base=formant_base,
+        )
         return st2, out
 
     new_spec_state, outs = jax.lax.scan(body, spec_state, (cur, prev))
@@ -211,13 +219,24 @@ def init_batched_fidelity_state(cfg: SpectralConfig, capacity: int):
     )
 
 
-def batched_fidelity_chunk(cfg: SpectralConfig, states, audios, ends, tf, mult, limit, active):
+def batched_fidelity_chunk(
+    cfg: SpectralConfig, states, audios, ends, tf, mult, limit, active,
+    formant_factor=None, formant_compensation=None, formant_base=None,
+):
     """vmap of :func:`fidelity_chunk` over a leading stream axis.  The
     spectral band scan runs in lockstep across all streams — that is the
     intended TPU mapping (one sequential scan, wide vector lanes)."""
+    if formant_factor is None:
+        return jax.vmap(
+            lambda st, au, en, t, m, l, a: fidelity_chunk(cfg, st, au, en, t, m, l, a)
+        )(states, audios, ends, tf, mult, limit, active)
     return jax.vmap(
-        lambda st, au, en, t, m, l, a: fidelity_chunk(cfg, st, au, en, t, m, l, a)
-    )(states, audios, ends, tf, mult, limit, active)
+        lambda st, au, en, t, m, l, a, ff, fc, fb: fidelity_chunk(
+            cfg, st, au, en, t, m, l, a,
+            formant_factor=ff, formant_compensation=fc, formant_base=fb,
+        )
+    )(states, audios, ends, tf, mult, limit, active,
+      formant_factor, formant_compensation, formant_base)
 
 
 def render_fidelity(
@@ -230,6 +249,7 @@ def render_fidelity(
     block_ms: float = 120.0,
     interval_ms: float = 30.0,
     state: SpectralState | None = None,
+    seed: int = 1,
 ) -> np.ndarray:
     """Render ``n_out`` frames — same signature/semantics as the golden
     harness' native.render_reference (split on).  audio [C, T] float32."""
@@ -242,7 +262,7 @@ def render_fidelity(
     mult = float(np.exp2(semitones / 12.0))
     limit = (tonality_hz / sr) / np.sqrt(mult)
     if state is None:
-        state = init_spectral_state(cfg)
+        state = init_spectral_state(cfg, seed=seed)
     _, out = _render_jit(
         cfg,
         jnp.asarray(audio, jnp.float32),

@@ -96,11 +96,20 @@ def blob_window(block: int, interval: int) -> np.ndarray:
 
 
 class SpectralConfig(NamedTuple):
-    """Static shapes for the fidelity core (hashable -> jit static arg)."""
+    """Static shapes for the fidelity core (hashable -> jit static arg).
+
+    formants: compile the blob's step-5 formant processing into the hop
+    (envelope + f0 trackers + smoothing + per-band energy scaling).  Off by
+    default: formant-neutral streams skip the work entirely, and the blob
+    itself gates the step on "formantFactor != 1, or compensation and
+    mapping" (docs/WASM-ALGO.md step 5) — when compiled in, neutral params
+    still produce the exact identity gain and frozen EMA trackers.
+    """
 
     channels: int
     block: int
     interval: int
+    formants: bool = False
 
     @property
     def fft(self) -> int:
@@ -120,13 +129,95 @@ class SpectralState(NamedTuple):
 
     prev_output: jnp.ndarray       # [C, bands] complex64 — carried spectrum
     prev_pred_energy: jnp.ndarray  # [C, bands] float32 — stale pred buffer
+    rng: jnp.ndarray               # [] uint32 — MINSTD state (timeFactor > 2)
+    f_value_ema: jnp.ndarray       # [] f32 — formant f0 tracker (blob 6688)
+    f_weighted_ema: jnp.ndarray    # [] f32 — formant f0 tracker (blob 6684)
 
 
-def init_spectral_state(cfg: SpectralConfig) -> SpectralState:
+def init_spectral_state(cfg: SpectralConfig, seed: int = 1) -> SpectralState:
+    # seed: the blob seeds from std::random_device at construction (reduced
+    # mod 2^31-1, clamped >= 1; docs/WASM-ALGO.md "Misc"); exactness tests
+    # pass the live engine's observed state (addr 6672).
     return SpectralState(
         prev_output=jnp.zeros((cfg.channels, cfg.bands), jnp.complex64),
         prev_pred_energy=jnp.zeros((cfg.channels, cfg.bands), jnp.float32),
+        rng=jnp.uint32(seed),
+        f_value_ema=jnp.float32(0.0),
+        f_weighted_ema=jnp.float32(0.0),
     )
+
+
+# ------------------------------------------------------------------ MINSTD
+MINSTD_M = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINSTD_A = 48271
+
+
+@functools.lru_cache(maxsize=16)
+def _minstd_powers(n_draws: int) -> np.ndarray:
+    """[n_draws] uint32: 48271^(k+1) mod (2^31-1) for k = 0..n_draws-1."""
+    out = np.empty(n_draws, np.uint32)
+    p = 1
+    for k in range(n_draws):
+        p = (p * MINSTD_A) % MINSTD_M
+        out[k] = p
+    return out
+
+
+def _modmul31(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(x * y) mod (2^31 - 1), exact, for uint32 inputs < 2^31-1.
+
+    16-bit limb products keep every intermediate inside uint32; the Mersenne
+    identity 2^31 ≡ 1 folds the high parts back (2^32 ≡ 2).  This is what
+    lets the whole MINSTD draw stream of a hop vectorize: the k-th draw is
+    s·a^k mod M, so one elementwise modmul against precomputed powers
+    replaces a 2·bands-step sequential generator.
+    """
+    m = jnp.uint32(0x7FFFFFFF)
+    x = x.astype(jnp.uint32)
+    y = y.astype(jnp.uint32)
+    x0, x1 = x & jnp.uint32(0xFFFF), x >> 16
+    y0, y1 = y & jnp.uint32(0xFFFF), y >> 16
+    lo = x0 * y0                     # < 2^32
+    mid = x1 * y0 + x0 * y1          # < 2^32 (x1, y1 < 2^15)
+    hi = x1 * y1                     # < 2^30
+
+    def fold(u):  # u < 2^32  ->  u mod-ish: value preserved mod M, <= 2^31
+        return (u >> 31) + (u & m)
+
+    acc = fold(hi * jnp.uint32(2) + (mid >> 15))
+    acc = fold(acc + ((mid & jnp.uint32(0x7FFF)) << 16))
+    acc = fold(acc + fold(lo))
+    return jnp.where(acc >= m, acc - m, acc)
+
+
+def _minstd_steps(seed: jnp.ndarray, time_factor: jnp.ndarray, bands: int):
+    """Vertical time steps for one hop: (d_down [B], d_up [B], new_seed).
+
+    timeFactor <= 2: the deterministic clamp(tf, 0.5, 2) everywhere.
+    timeFactor > 2 (rate < 0.5 — the kiosk regime): the blob's MINSTD-
+    random steps, draw-for-draw (decoded from the translated blob; pinned
+    by tools/golden_wasm/pymodel._minstd_draws and tests/test_pymodel.py):
+    value = f32((2·tf−4)·2⁻³¹·u32(s'−1) + (4−tf)); band 0 draws only UP,
+    interior bands DOWN then UP, the last band only DOWN; each draw is
+    shared by its short/long pair (long scales by L).  The stream is data-
+    independent, so all 2B−2 draws vectorize as s·a^k mod M.
+    """
+    n = 2 * bands - 2
+    pows = jnp.asarray(_minstd_powers(n))
+    seq = _modmul31(seed, pows)                               # s_1 .. s_n
+    v32 = jnp.maximum(time_factor.astype(jnp.float32), jnp.float32(0.5))
+    v45 = jnp.where(v32 > 2.0, jnp.float32(4.0), jnp.float32(0.0)) - v32
+    v46 = (v32 - v45) * jnp.float32(2.0 ** -31)
+    vals = v46 * (seq - jnp.uint32(1)).astype(jnp.float32) + v45
+    zero = jnp.zeros((1,), jnp.float32)
+    dd_rand = jnp.concatenate([zero, vals[1::2]])             # [B]
+    du_rand = jnp.concatenate([vals[0::2], zero])             # [B]
+    bts = jnp.clip(time_factor, 0.5, 2.0).astype(jnp.float32)
+    use = time_factor > 2.0
+    d_down = jnp.where(use, dd_rand, bts)
+    d_up = jnp.where(use, du_rand, bts)
+    new_seed = jnp.where(use, _modmul31(seed, jnp.asarray(_minstd_powers(n)[-1])), seed)
+    return d_down, d_up, new_seed
 
 
 def _unit_phase(phase: np.ndarray) -> jnp.ndarray:
@@ -221,6 +312,107 @@ def _find_peaks_map(energy: jnp.ndarray, smoothed: jnp.ndarray,
     return input_bin, grad
 
 
+# the blob's epsilon constant in the formant ratio (reint 0x0DA24260)
+_FORMANT_TINY = float(np.frombuffer(np.uint32(228737632).tobytes(), np.float32)[0])
+
+
+def _formant_f0(env_energy: jnp.ndarray, value_ema, weighted_ema, update):
+    """Auto f0 smoothing width (formantBase == 0): the blob's sequential
+    top-3 peak tracker over the energy envelope, two harmonic folds, and
+    1/16-coefficient EMA trackers (decoded at wasm2c t1038-t1086; pinned by
+    pymodel._formant_width).  Returns (width, new_value_ema,
+    new_weighted_ema); the EMAs only advance when ``update`` is true (the
+    blob skips step 5 entirely for formant-neutral hops)."""
+    b_n = env_energy.shape[0]
+    e0 = env_energy[0]
+    init = (e0, e0, e0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    xs = (
+        env_energy[:-2],                       # env[b-1]
+        env_energy[1:-1],                      # env[b]
+        env_energy[2:],                        # env[b+1]
+        jnp.arange(1, b_n - 1, dtype=jnp.int32),
+    )
+
+    def body(carry, x):
+        e2, e5, e4, i2, i5, i4 = carry
+        ep, v, en, b = x
+        consider = (v >= ep) & (v > en) & (v > e4)
+        c1 = e2 >= v      # new third peak only
+        c2 = e5 < v       # new maximum: rotate third<-second<-max<-b
+        n_e4 = jnp.where(c1, v, e2)
+        n_i4 = jnp.where(c1, b, i2)
+        n_e2 = jnp.where(c1, e2, jnp.where(c2, e5, v))
+        n_i2 = jnp.where(c1, i2, jnp.where(c2, i5, b))
+        n_e5 = jnp.where(c1 | ~c2, e5, v)
+        n_i5 = jnp.where(c1 | ~c2, i5, b)
+        new = (n_e2, n_e5, n_e4, n_i2, n_i5, n_i4)
+        return tuple(jnp.where(consider, n, o) for n, o in zip(new, carry)), None
+
+    (e2, e5, e4, i2, i5, i4), _ = jax.lax.scan(body, init, xs)
+    peak_val = e5
+    do1 = e2 > peak_val * 0.1
+    d1 = jnp.abs(i5 - i2)
+    fold1 = do1 & ~((d1 <= i5 // 8) | (d1 >= (i5 * 7) // 8))
+    i5 = jnp.where(fold1, i5 % jnp.maximum(d1, 1), i5)
+    do2 = do1 & (e4 > peak_val * 0.01)
+    d2 = jnp.abs(i5 - i4)
+    fold2 = do2 & ~((d2 <= i5 // 8) | (d2 >= (i5 * 7) // 8))
+    i5 = jnp.where(fold2, i5 % jnp.maximum(d2, 1), i5)
+    pv = peak_val.astype(jnp.float32)
+    new_value = value_ema + (pv - value_ema) * jnp.float32(0.0625)
+    new_weighted = weighted_ema + (
+        pv * i5.astype(jnp.float32) - weighted_ema
+    ) * jnp.float32(0.0625)
+    new_value = jnp.where(update, new_value, value_ema)
+    new_weighted = jnp.where(update, new_weighted, weighted_ema)
+    width = new_weighted / (new_value + jnp.float32(_FORMANT_TINY))
+    return width, new_value, new_weighted
+
+
+def _formant_gain(
+    cfg: SpectralConfig,
+    energy_c: jnp.ndarray,   # [C, bands] Band.energy (pre-formant)
+    state: SpectralState,
+    mult, limit,             # transpose multiplier + stored tonality limit
+    formant_factor, formant_compensation, formant_base,
+):
+    """The blob's step 5 as one vectorized pass: returns (gain [bands] to
+    multiply into the per-channel energies, new_value_ema, new_weighted_ema).
+    Formant-neutral params yield the exact identity gain and frozen EMAs
+    (matching the blob's gate, wasm2c t173/b_174)."""
+    fft, b_n = cfg.fft, cfg.bands
+    mapping = mult != 1.0
+    active = (formant_factor != 1.0) | ((formant_compensation != 0.0) & mapping)
+    env_e = jnp.sum(energy_c, axis=0)                       # [bands]
+    auto = formant_base <= 0.0
+    w_auto, new_v, new_w = _formant_f0(
+        env_e, state.f_value_ema, state.f_weighted_ema, active & auto
+    )
+    width = jnp.where(
+        auto, w_auto, (formant_base * fft - 0.5).astype(jnp.float32)
+    )
+    env = jnp.sqrt(env_e)
+    coef = (1.0 / (width * 0.5 + 1.0)).astype(jnp.float32)
+    sm, carry = _smooth_bidirectional(env, coef, jnp.zeros(()))
+    sm, _ = _smooth_bidirectional(sm, coef, carry)
+    freq = (jnp.arange(b_n, dtype=jnp.float32) + 0.5) / fft
+    # compensation: look up in TRANSPOSE-mapped space (undoes the shift)
+    fr = jnp.where(
+        formant_compensation != 0.0,
+        jnp.where(freq > limit, freq + (mult - 1.0) * limit, freq * mult),
+        freq,
+    )
+    inv = 1.0 / formant_factor
+    fm = inv * fr
+    fm = jnp.where(fm > limit, (1.0 - formant_factor) * limit + fr, fm)
+    pos = fm * fft - 0.5
+    env_m = _get_fractional(sm[None], pos[None])[0]
+    env_m = jnp.where(pos < 0.0, 0.0, env_m)
+    ratio = env_m / (sm + jnp.float32(_FORMANT_TINY))
+    gain = jnp.where(active, jnp.square(ratio), 1.0)
+    return gain, new_v, new_w
+
+
 def _take_along_last(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """take_along_axis(-1) that works for complex64 on the TPU backend
     (complex gather is unimplemented there — gather real/imag separately)."""
@@ -256,9 +448,15 @@ def spectral_hop(
     time_factor: jnp.ndarray,  # scalar f32 (= 1/rate in the seek-driven path)
     mult: jnp.ndarray,         # scalar f32 — frequency multiplier 2^(st/12)
     limit: jnp.ndarray,        # scalar f32 — stored tonality limit
-    formant_gain=None,         # optional [C, bands] f32 energy-gain (step 5)
+    formant_factor=None,       # scalar f32 2^(st/12); None/1.0 = neutral
+    formant_compensation=None,  # scalar 0/1
+    formant_base=None,          # scalar f32 normalized freq; <=0 = auto f0
 ):
-    """One hop of the blob's processSpectrum.  Returns (state, out [C, B])."""
+    """One hop of the blob's processSpectrum.  Returns (state, out [C, B]).
+
+    Formant processing (step 5) runs only when ``cfg.formants`` compiled it
+    in AND formant params were passed; neutral params then reproduce the
+    blob's skip exactly (identity gain, frozen trackers)."""
     c_n, b_n = cfg.channels, cfg.bands
     fft, interval, long_step = cfg.fft, cfg.interval, cfg.long_step
     b_idx = jnp.arange(b_n, dtype=jnp.float32)
@@ -279,11 +477,18 @@ def spectral_hop(
     input_bin = jnp.where(mapping, ib_m, b_idx)
     grad = jnp.where(mapping, gr_m, 1.0)
 
-    if formant_gain is not None:
-        energy_c = energy_c * formant_gain
+    # -- step 5: formant processing (blob gate: factor != 1, or
+    # compensation and mapping — neutral params are an exact no-op) --------
+    if cfg.formants and formant_factor is not None:
+        fgain, new_fv, new_fw = _formant_gain(
+            cfg, energy_c, state, mult, limit,
+            formant_factor, formant_compensation, formant_base,
+        )
+        energy_c = energy_c * fgain[None]
+    else:
+        new_fv, new_fw = state.f_value_ema, state.f_weighted_ema
 
     # -- step 6: predictions + time-prediction ------------------------------
-    bts = jnp.clip(time_factor, 0.5, 2.0)
     pos = input_bin[None].repeat(c_n, axis=0)        # [C, B]
     pred_energy = _get_fractional(energy_c, pos) * jnp.maximum(grad, 0.0)[None]
     pred_input = _get_fractional(spec_in, pos)
@@ -298,8 +503,21 @@ def spectral_hop(
     timepred = p_out * tw / den                       # [C, B]
 
     # -- step 7: sequential Gauss-Seidel over bands --------------------------
-    down_s = _get_fractional(spec_in, pos - bts)
-    down_l = _get_fractional(spec_in, pos - bts * long_step)
+    # Vertical time steps: deterministic clamp at tf <= 2, the blob's
+    # MINSTD-random per-band draws at tf > 2 (four distinct gather-position
+    # families; with the deterministic step they collapse to the shared
+    # shifted arrays us[b] == ds[b+1] etc.).
+    d_down, d_up, new_rng = _minstd_steps(state.rng, time_factor, b_n)
+    down_s = _get_fractional(spec_in, pos - d_down[None])
+    down_l = _get_fractional(spec_in, pos - (d_down * long_step)[None])
+    zf = jnp.zeros((1,), jnp.float32)
+    us_pos = jnp.concatenate([input_bin[1:], zf]) - d_up
+    ul_pos = (
+        jnp.concatenate([input_bin[long_step:], jnp.zeros((long_step,), jnp.float32)])
+        - d_up * long_step
+    )
+    us_g = _get_fractional(spec_in, jnp.broadcast_to(us_pos, (c_n, b_n)))
+    ul_g = _get_fractional(spec_in, jnp.broadcast_to(ul_pos, (c_n, b_n)))
     mc = jnp.argmax(pred_energy, axis=0)              # [B] leading channel
 
     onehot_mc = (jnp.arange(c_n)[:, None] == mc[None, :])  # [C, B] bool
@@ -307,17 +525,18 @@ def spectral_hop(
     def sel(arr):  # arr [C, B] -> [B] at channel mc[b] (complex-gather-free)
         return jnp.sum(arr * onehot_mc.astype(jnp.float32), axis=0)
 
+    def shift1(a):
+        return jnp.concatenate([a[:, 1:], jnp.zeros((c_n, 1), a.dtype)], axis=1)
+
+    def shiftL(a):
+        return jnp.concatenate(
+            [a[:, long_step:], jnp.zeros((c_n, long_step), a.dtype)], axis=1
+        )
+
     d1 = sel(pred_input * jnp.conj(down_s))           # lower, short
     d2 = sel(pred_input * jnp.conj(down_l))           # lower, long
-    u_all = timepred * jnp.conj(pred_input * jnp.conj(down_s))
-    u_all_l = timepred * jnp.conj(pred_input * jnp.conj(down_l))
-    u1 = sel(jnp.concatenate([u_all[:, 1:], jnp.zeros((c_n, 1), u_all.dtype)], axis=1))
-    u2 = sel(
-        jnp.concatenate(
-            [u_all_l[:, long_step:], jnp.zeros((c_n, long_step), u_all_l.dtype)],
-            axis=1,
-        )
-    )
+    u1 = sel(shift1(timepred) * jnp.conj(shift1(pred_input) * jnp.conj(us_g)))
+    u2 = sel(shiftL(timepred) * jnp.conj(shiftL(pred_input) * jnp.conj(ul_g)))
     pe_mc = sel(pred_energy)
     pi_mc = sel(pred_input)
     # cross-channel lock factors conj(tw_c) = conj(pi_mc * conj(pi_c))
@@ -361,4 +580,7 @@ def spectral_hop(
     _, outs = jax.lax.scan(body, ring0, xs, unroll=8)
     out = outs.T  # [C, B]
 
-    return SpectralState(prev_output=out, prev_pred_energy=pred_energy), out
+    return SpectralState(
+        prev_output=out, prev_pred_energy=pred_energy, rng=new_rng,
+        f_value_ema=new_fv, f_weighted_ema=new_fw,
+    ), out

@@ -53,7 +53,8 @@ def _fidelity_chunk_jit(scfg, state, audio, packed):
     """Fidelity-mode dispatch: same packed layout as :func:`_chunk_jit`;
     rate/transpose/tonality map onto the blob-exact core's controls
     (timeFactor = 1/rate, limit = tonality/sqrt(multiplier) — measured,
-    docs/WASM-ALGO.md)."""
+    docs/WASM-ALGO.md).  When ``scfg.formants`` is compiled in, the packed
+    formant fields feed the blob's step 5."""
     from bauklank_tpu.engine.fidelity import fidelity_chunk
 
     h = packed.shape[0] - 7
@@ -61,8 +62,16 @@ def _fidelity_chunk_jit(scfg, state, audio, packed):
     params = StretchParams(*[packed[h + i] for i in range(7)])
     tf = 1.0 / jnp.maximum(params.rate, 1e-6)
     limit = params.tonality / jnp.sqrt(params.transpose_factor)
+    kw = {}
+    if scfg.formants:
+        kw = dict(
+            formant_factor=params.formant_factor,
+            formant_compensation=params.formant_compensation,
+            formant_base=params.formant_base,
+        )
     return fidelity_chunk(
-        scfg, state, audio, ends, tf, params.transpose_factor, limit, params.active
+        scfg, state, audio, ends, tf, params.transpose_factor, limit,
+        params.active, **kw,
     )
 
 
@@ -91,10 +100,10 @@ class StretchNode:
         # engine: "fast" (the TPU-first hop-parallel engine, engine.core) or
         # "fidelity" (the blob-exact reference algorithm, engine.spectral —
         # >=40 dB vs the actual reference renderer, tests/test_golden_wasm).
-        # Fidelity mode covers stretch + pitch; formant controls currently
-        # require the fast engine, and rates outside [0.5, 2] use the
-        # clamped deterministic time step where the reference draws a
-        # MINSTD-random one (docs/WASM-ALGO.md step 7).
+        # Fidelity mode covers the FULL control surface: stretch, pitch,
+        # rate < 0.5 (the blob's MINSTD-random vertical steps replicated
+        # draw-for-draw), and formant shift/compensation/base (the blob's
+        # step 5, pinned via pymodel in tests/test_spectral.py).
         if engine not in ("fast", "fidelity"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
@@ -335,11 +344,22 @@ class StretchNode:
             seg.formant_base_hz / sr,
         )
         if fid:
+            scfg = self._scfg
+            if seg.formant_semitones != 0.0 or seg.formant_compensation:
+                scfg = scfg._replace(formants=True)
             self._state, out = _fidelity_chunk_jit(
-                self._scfg, self._state, audio, jnp.asarray(packed)
+                scfg, self._state, audio, jnp.asarray(packed)
             )
         else:
-            self._state, out = _chunk_jit(self.config, self._state, audio, jnp.asarray(packed))
+            # host-side formant gating (see serve.pool.StreamPool.step)
+            cfg = self.config
+            if cfg.formants and not (
+                seg.formant_semitones != 0.0 or seg.formant_compensation
+            ):
+                from bauklank_tpu.engine.batched import formants_off
+
+                cfg = formants_off(cfg)
+            self._state, out = _chunk_jit(cfg, self._state, audio, jnp.asarray(packed))
         self._fifo = np.concatenate([self._fifo, np.asarray(out)], axis=1)
         self._since_update += out.shape[1] / sr
         if self._update_cb and self._since_update >= self._update_interval:

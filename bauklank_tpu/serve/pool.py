@@ -104,7 +104,9 @@ def _pool_step(config, states, audios, packed):
 def _pool_step_fidelity(scfg, states, audios, packed):
     """Fidelity-mode pool step: same packed layout as :func:`_pool_step`,
     dispatching the blob-exact core (engine.spectral) — the band scan runs
-    once, vectorized across all streams (the intended TPU mapping)."""
+    once, vectorized across all streams (the intended TPU mapping).  With
+    ``scfg.formants`` compiled in, the packed formant fields drive the
+    blob's step 5 per stream."""
     from bauklank_tpu.engine.fidelity import batched_fidelity_chunk
 
     h = packed.shape[1] - 11
@@ -112,8 +114,16 @@ def _pool_step_fidelity(scfg, states, audios, packed):
     params = StretchParams(*[packed[:, h + i] for i in range(7)])
     tf = 1.0 / jnp.maximum(params.rate, 1e-6)
     limit = params.tonality / jnp.sqrt(params.transpose_factor)
+    kw = {}
+    if scfg.formants:
+        kw = dict(
+            formant_factor=params.formant_factor,
+            formant_compensation=params.formant_compensation,
+            formant_base=params.formant_base,
+        )
     states, out = batched_fidelity_chunk(
-        scfg, states, audios, ends, tf, params.transpose_factor, limit, params.active
+        scfg, states, audios, ends, tf, params.transpose_factor, limit,
+        params.active, **kw,
     )
     return states, _mixdown(out, packed[:, h + 7 : h + 9], packed[:, h + 9 : h + 11]), out
 
@@ -378,12 +388,27 @@ class StreamPool:
             s._prev_volume = s.volume
             s._prev_pan = s.pan
         if fid:
+            scfg = self.scfg
+            if np.any(packed[:, h + 4] != 1.0) or np.any(packed[:, h + 5] != 0.0):
+                scfg = scfg._replace(formants=True)
             self.states, master, streams = _pool_step_fidelity(
-                self.scfg, self.states, self._device_audio(), jnp.asarray(packed)
+                scfg, self.states, self._device_audio(), jnp.asarray(packed)
             )
         else:
+            # host-side formant gating: when NO voice uses formant controls
+            # this step, dispatch the formants-off compile of the same step
+            # (same state pytree; the reference engine gates identically —
+            # docs/WASM-ALGO.md step 5).  Saves three envelope-FFT passes
+            # per hop for the (typical) formant-neutral pool.
+            cfg = self.config
+            if cfg.formants and not (
+                np.any(packed[:, h + 4] != 1.0) or np.any(packed[:, h + 5] != 0.0)
+            ):
+                from bauklank_tpu.engine.batched import formants_off
+
+                cfg = formants_off(cfg)
             self.states, master, streams = _pool_step(
-                self.config, self.states, self._device_audio(), jnp.asarray(packed)
+                cfg, self.states, self._device_audio(), jnp.asarray(packed)
             )
         self.out_pos += h * interval
         self._last_streams = streams  # device-resident; analyzed on demand

@@ -41,6 +41,8 @@ def test_snr_vs_reference_wasm(golden, name, rate, semitones, channels):
 
     x = material.case_input(rate, channels)
     n_out = int(material.SECONDS * material.SR)
+    key = name + "__seed"
+    seed = int(golden[key]) if key in golden.files else 1
     got = render_fidelity(
         x,
         material.SR,
@@ -50,6 +52,7 @@ def test_snr_vs_reference_wasm(golden, name, rate, semitones, channels):
         tonality_hz=material.TONALITY_HZ,
         block_ms=material.BLOCK_MS,
         interval_ms=material.INTERVAL_MS,
+        seed=seed,
     )
     snr = material.snr_db(golden[name], got, SKIP)
     assert snr > 40.0, f"{name}: {snr:.1f} dB"

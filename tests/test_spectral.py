@@ -154,3 +154,95 @@ def test_pool_fidelity_voice_matches_node():
                    "rate": 0.8, "semitones": 4.0})
     ref = node.process_output(16 * 128)
     assert np.abs(got - ref).max() < 1e-4, np.abs(got - ref).max()
+
+
+@pytest.mark.parametrize("tf,seed", [(4.0, 12345), (1000.0, 777)])
+def test_hop_matches_pymodel_minstd(tf, seed):
+    """timeFactor > 2 (rate < 0.5, the kiosk regime): the JAX engine must
+    replicate the blob's MINSTD-random vertical steps draw-for-draw (the
+    pymodel is itself pinned hop-exact to the live blob at these rates,
+    tests/test_pymodel.py)."""
+    cfg = SpectralConfig(1, 512, 128)
+    ref_cfg = ModelConfig(1, 512, 128)
+    mult = float(np.exp2(5.0 / 12.0))
+    limit = (8000.0 / 44100.0) / np.sqrt(mult)
+    rng = np.random.default_rng(3)
+    pm = SpectralModel(ref_cfg)
+    pm.rng_state = seed
+    st = init_spectral_state(cfg, seed=seed)
+    for _ in range(3):
+        si, sp = _colored_spectra(rng, 1, cfg.bands, cfg.fft, cfg.interval)
+        ref = pm.hop(si.astype(complex), sp.astype(complex), tf,
+                     freq_multiplier=mult, freq_tonality_limit=limit)
+        st, out = spectral_hop(
+            cfg, st, jnp.asarray(si), jnp.asarray(sp),
+            jnp.float32(tf), jnp.float32(mult), jnp.float32(limit),
+        )
+        err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+        assert err < 2e-3, err
+    # the carried rng state matches the model's exactly
+    assert int(st.rng) == pm.rng_state
+
+
+@pytest.mark.parametrize(
+    "factor_st,comp,base,semitones",
+    [(5.0, False, 0.0, 0.0), (-7.0, False, 200.0 / 44100.0, 0.0),
+     (0.0, True, 0.0, 12.0), (4.0, True, 150.0 / 44100.0, -7.0)],
+)
+def test_hop_matches_pymodel_formants(factor_st, comp, base, semitones):
+    """Step-5 formant processing (shift / compensation / explicit base)
+    must match the pymodel, which is pinned hop-exact to the live blob
+    (tests/test_pymodel.py formant cases)."""
+    cfg = SpectralConfig(1, 512, 128, formants=True)
+    ref_cfg = ModelConfig(1, 512, 128)
+    mult = float(np.exp2(semitones / 12.0))
+    limit = (8000.0 / 44100.0) / np.sqrt(mult)
+    ff = float(np.exp2(factor_st / 12.0))
+    rng = np.random.default_rng(11)
+    pm = SpectralModel(ref_cfg)
+    st = init_spectral_state(cfg)
+    tf = 1.0 / 0.8
+    for _ in range(4):
+        si, sp = _colored_spectra(rng, 1, cfg.bands, cfg.fft, cfg.interval)
+        ref = pm.hop(si.astype(complex), sp.astype(complex), tf,
+                     freq_multiplier=mult, freq_tonality_limit=limit,
+                     formant_factor=ff, formant_compensation=comp,
+                     formant_base=base)
+        st, out = spectral_hop(
+            cfg, st, jnp.asarray(si), jnp.asarray(sp),
+            jnp.float32(tf), jnp.float32(mult), jnp.float32(limit),
+            formant_factor=jnp.float32(ff),
+            formant_compensation=jnp.float32(1.0 if comp else 0.0),
+            formant_base=jnp.float32(base),
+        )
+        err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+        assert err < 2e-3, err
+    # EMA trackers stay in sync (auto-f0 cases advance, base cases freeze)
+    np.testing.assert_allclose(
+        float(st.f_value_ema), float(pm.formant_value_ema), rtol=1e-4)
+
+
+def test_node_fidelity_formants():
+    """Fidelity-mode node applies formant controls (full control surface)."""
+    from bauklank_tpu.node import StretchNode
+
+    sr = 8000.0
+    t = np.arange(int(2 * sr)) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220 * t) + 0.25 * np.sin(2 * np.pi * 440 * t)
+         + 0.12 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+
+    def render(**controls):
+        node = StretchNode(sample_rate=sr, channels=1, engine="fidelity")
+        node.configure(blockMs=64, overlap=4)
+        node.add_buffers([x])
+        node.start(when=0.0, offset=0.0, rate=1.0)
+        node.schedule({"output": 0.0, "rate": 1.0, **controls})
+        return node.process_output(int(sr))
+
+    neutral = render()
+    shifted = render(formantSemitones=7.0)
+    comp = render(semitones=12.0, formantCompensation=True)
+    for out in (neutral, shifted, comp):
+        assert np.isfinite(out).all() and np.abs(out).max() > 1e-3
+    # formant shift must actually reshape the spectrum
+    assert np.abs(shifted - neutral).max() > 1e-3

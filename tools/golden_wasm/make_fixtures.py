@@ -25,6 +25,7 @@ def main() -> None:
     n_out = int(material.SECONDS * material.SR)
     for name, rate, semitones, channels in material.CASES:
         x = material.case_input(rate, channels)
+        seeds: list = []
         ref = native.render_reference(
             x,
             material.SR,
@@ -35,9 +36,13 @@ def main() -> None:
             block_ms=material.BLOCK_MS,
             interval_ms=material.INTERVAL_MS,
             split_computation=True,
+            seed_out=seeds,
         )
         arrays[name] = ref.astype(np.float32)
-        print(f"{name}: rendered {ref.shape}")
+        # MINSTD state at render start: needed to replicate rate < 0.5
+        # renders (the engine consumes random vertical-step draws there)
+        arrays[name + "__seed"] = np.uint32(seeds[0])
+        print(f"{name}: rendered {ref.shape} seed={seeds[0]}")
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **arrays)
     print(f"wrote {OUT} ({OUT.stat().st_size/1e6:.1f} MB)")

@@ -27,6 +27,11 @@ CASES = [
     ("r20_stp12", 2.0, 12.0, 1),
     ("stereo_r07_stp5", 0.7, 5.0, 2),
     ("stereo_r15_stm12", 1.5, -12.0, 2),
+    # rate < 0.5 engages the MINSTD-random vertical steps (timeFactor > 2);
+    # replicating them requires the per-render seed stored as {name}__seed
+    ("r025_st0", 0.25, 0.0, 1),
+    ("r025_stp12", 0.25, 12.0, 1),
+    ("r0001_st0", 0.001, 0.0, 1),  # the kiosk's deployed rate
 ]
 
 SECONDS = 2.0

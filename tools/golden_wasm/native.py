@@ -146,6 +146,18 @@ class NativeStretch:
         buf = (ctypes.c_float * count).from_address(ptr + byte_offset)
         return np.ctypeslib.as_array(buf)
 
+    def mem_u32(self, byte_offset: int) -> int:
+        ptr = self.lib.wasm_mem_ptr()
+        return int.from_bytes(
+            bytes((ctypes.c_uint8 * 4).from_address(ptr + byte_offset)), "little"
+        )
+
+    def rng_state(self) -> int:
+        """The engine's live MINSTD state (addr 6672) — consumed by the
+        timeFactor > 2 vertical-step draws (docs/WASM-ALGO.md step 7).
+        Read it before rendering to seed a replicating model."""
+        return self.mem_u32(6672)
+
 
 _DEFAULT_SEGMENT = {
     "active": False, "input": 0.0, "output": 0.0, "rate": 1.0,
@@ -298,9 +310,13 @@ def render_reference(
     interval_ms: float = 30.0,
     split_computation: bool = True,
     schedules: list[dict] | None = None,
+    seed_out: list | None = None,
 ) -> np.ndarray:
     """Render n_out frames via the native reference engine (same signature
-    as harness.render_reference, plus optional extra schedule segments)."""
+    as harness.render_reference, plus optional extra schedule segments).
+    ``seed_out``: pass a list to receive the engine's MINSTD state before
+    rendering (needed to replicate rate < 0.5 renders, which consume
+    random vertical-step draws — docs/WASM-ALGO.md step 7)."""
     audio = np.ascontiguousarray(audio, np.float32)
     channels = audio.shape[0]
     d = WorkletDriver(sample_rate, channels)
@@ -319,6 +335,8 @@ def render_reference(
     )
     for s in schedules or []:
         d.schedule(dict(s))
+    if seed_out is not None:
+        seed_out.append(d.wasm.rng_state())
     out = np.zeros((channels, n_out), np.float32)
     q = np.zeros((channels, QUANTUM), np.float32)
     pos = 0

@@ -219,11 +219,16 @@ class SpectralModel:
         self.prev_pred_energy = np.zeros((cfg.channels, cfg.bands))
         self.smooth_carry = 0.0
         self.rng_state = None  # MINSTD seed when timeFactor > 2 paths used
+        # formant f0 EMA trackers (blob addrs 6688 / 6684, zeroed at init)
+        self.formant_value_ema = np.float32(0.0)
+        self.formant_weighted_ema = np.float32(0.0)
 
     def reset(self):
         self.prev_output[:] = 0
         self.prev_pred_energy[:] = 0
         self.smooth_carry = 0.0
+        self.formant_value_ema = np.float32(0.0)
+        self.formant_weighted_ema = np.float32(0.0)
 
     # MINSTD vertical-step randomization (timeFactor > 2, i.e. rate < 0.5 —
     # the kiosk regime).  Decoded from the translated blob (band loop, the
@@ -264,6 +269,104 @@ class SpectralModel:
         self.rng_state = s
         return d_down, d_up
 
+    # ---- formant processing (step 5; decoded from the translated blob,
+    # per-band gain block near wasm2c t826-t897, f0/width near t1038-t1086,
+    # smoother near t899/L307, buffer resize to bands+2 at f-offset t229) --
+    _FORMANT_TINY = np.frombuffer(
+        np.uint32(228737632).tobytes(), np.float32
+    )[0]  # the blob's epsilon constant (reint 0x0DA24260 ~ 1e-30)
+
+    def _formant_width(self, env_energy: np.ndarray) -> float:
+        """Auto f0 smoothing width (formantBase == 0): top-peak tracking +
+        two harmonic folds + 1/16-coefficient EMA trackers (carried state
+        at 6684/6688)."""
+        b_n = len(env_energy)
+        v2 = v5 = v4 = 0  # second / max / third peak indices
+        for b in range(1, b_n - 1):
+            v = env_energy[b]
+            if v < env_energy[b - 1] or v <= env_energy[b + 1] or v <= env_energy[v4]:
+                continue
+            if env_energy[v2] >= v:
+                v4 = b
+            elif env_energy[v5] < v:
+                v4, v2, v5 = v2, v5, b
+            else:
+                v4, v2 = v2, b
+        peak_val = float(env_energy[v5])
+        if env_energy[v2] > peak_val * 0.1:
+            d = abs(v5 - v2)
+            if not (d <= v5 // 8 or d >= (v5 * 7) // 8):
+                v5 = v5 % d
+            if env_energy[v4] > peak_val * 0.01:
+                d = abs(v5 - v4)
+                if not (d <= v5 // 8 or d >= (v5 * 7) // 8):
+                    v5 = v5 % d
+        pv = np.float32(peak_val)
+        self.formant_value_ema = np.float32(
+            (float(pv) - float(self.formant_value_ema)) * 0.0625
+            + float(self.formant_value_ema)
+        )
+        self.formant_weighted_ema = np.float32(
+            (float(np.float32(pv * np.float32(v5))) - float(self.formant_weighted_ema))
+            * 0.0625
+            + float(self.formant_weighted_ema)
+        )
+        return float(
+            self.formant_weighted_ema
+            / (self.formant_value_ema + self._FORMANT_TINY)
+        )
+
+    def _apply_formants(
+        self,
+        energy_c: np.ndarray,      # [C, bands] Band.energy (modified in place)
+        mapping: bool,
+        freq_multiplier: float,
+        freq_tonality_limit: float,
+        formant_factor: float,
+        formant_compensation: bool,
+        formant_base: float,
+    ) -> None:
+        cfg = self.cfg
+        f, b_n = cfg.fft_size, cfg.bands
+        env = np.zeros(b_n + 2)
+        env[:b_n] = energy_c.sum(0)
+        if formant_base > 0:
+            width = float(np.float32(formant_base * f - 0.5))
+        else:
+            width = self._formant_width(env[:b_n])
+        env[:b_n] = np.sqrt(env[:b_n])
+        coef = float(np.float32(1.0 / (width * 0.5 + 1.0)))
+        sm, carry = smooth_bidirectional(env[:b_n], coef, 0.0)
+        sm, _ = smooth_bidirectional(sm, coef, carry)
+        env[:b_n] = sm
+        inv = 1.0 / formant_factor
+        tiny = self._FORMANT_TINY
+        lim = freq_tonality_limit
+        for b in range(b_n):
+            freq = (b + 0.5) / f
+            if formant_compensation:
+                # compensation: the envelope lookup happens in TRANSPOSE-
+                # mapped space — output band b carries input content from
+                # the unmapped position, so reading the envelope at the
+                # transposed frequency undoes the spectral-shape shift
+                if freq > lim:
+                    freq = freq + (freq_multiplier - 1.0) * lim
+                else:
+                    freq = freq * freq_multiplier
+            fm = inv * freq
+            if fm > lim:
+                fm = (1.0 - formant_factor) * lim + freq
+            pos = fm * f - 0.5
+            if pos >= 0:
+                pos = min(float(b_n), pos)
+                i = int(np.floor(pos))
+                frac = pos - i
+                env_m = env[i] + frac * (env[i + 1] - env[i])
+            else:
+                env_m = 0.0
+            ratio = env_m / (env[b] + tiny)
+            energy_c[:, b] *= ratio * ratio
+
     def hop(
         self,
         spec_in: np.ndarray,       # [C, bands] analysis at the current position
@@ -271,6 +374,9 @@ class SpectralModel:
         time_factor: float,        # output interval / input advance (or seek rate semantics)
         freq_multiplier: float = 1.0,
         freq_tonality_limit: float = 0.0,  # normalized freq (stored form)
+        formant_factor: float = 1.0,
+        formant_compensation: bool = False,
+        formant_base: float = 0.0,
     ) -> np.ndarray:
         """One hop of processSpectrum. Returns the output spectrum [C, bands]
         (which is also stored as the carried prev_output)."""
@@ -309,6 +415,15 @@ class SpectralModel:
             energy_c = np.abs(spec_in) ** 2
             input_bin = b_idx.astype(np.float64)
             grad = np.ones(cfg.bands)
+
+        # step 5: formants — run "when formantFactor != 1, or compensation
+        # and mapping" (the blob's gate at wasm2c t173/b_174); scales
+        # Band.energy in place before the predictions read it
+        if formant_factor != 1.0 or (formant_compensation and mapping):
+            self._apply_formants(
+                energy_c, mapping, freq_multiplier, freq_tonality_limit,
+                formant_factor, formant_compensation, formant_base,
+            )
 
         tf32 = np.float32(time_factor)
         long_step = int(round(f / interval))

@@ -49,10 +49,13 @@ def render_model(
     tonality_hz: float = 8000.0,
     block_ms: float = 120.0,
     interval_ms: float = 30.0,
+    seed: int | None = None,
 ) -> np.ndarray:
     """Render ``n_out`` frames like native.render_reference (split on).
 
     audio: [C, N] float32.  Returns [C, n_out] float64.
+    ``seed``: MINSTD state for the rate < 0.5 random vertical steps (read
+    from the live engine via native.render_reference's ``seed_out``).
     """
     audio = np.asarray(audio, np.float64)
     channels = audio.shape[0]
@@ -78,6 +81,7 @@ def render_model(
         return out
 
     model = SpectralModel(cfg)
+    model.rng_state = seed
     acc = np.zeros((channels, n_out + 2 * (block + interval)))
     n_hops = (n_out + interval - 1) // interval
     # Pre-compute the per-quantum input frame ends with the exact float path
