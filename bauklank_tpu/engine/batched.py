@@ -47,9 +47,27 @@ def batched_process_chunk(
     frame_ends: [S, H] per-stream hop positions
     params:     StretchParams with leading [S] axis
     returns (states, out [S, C, H*interval])
+
+    Callers that know host-side that no stream uses formant controls this
+    dispatch should pass ``formants_off(config)`` instead of ``config`` —
+    the formant-envelope chain is three extra FFT passes over every hop,
+    and the reference engine likewise runs it only "when formantFactor !=
+    1, or compensation and mapping" (docs/WASM-ALGO.md step 5).  The
+    selection is a host-side static-config switch (two jit cache entries
+    over the same state pytree), NOT a lax.cond: a cond would double the
+    compiled graph, and under vmap it lowers to select and executes both
+    branches anyway.
     """
     fn = functools.partial(process_chunk, config)
     return jax.vmap(fn)(states, audios, frame_ends, params)
+
+
+def formants_off(config: StretchConfig) -> StretchConfig:
+    """The same engine shape with the formant chain compiled out (state
+    pytrees are identical, so states flow between the two step variants)."""
+    import dataclasses
+
+    return dataclasses.replace(config, formants=False)
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))

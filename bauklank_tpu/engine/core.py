@@ -196,8 +196,12 @@ def hop_factors(
     starts_cur = frame_ends.astype(jnp.int32) - block
     starts = jnp.concatenate([starts_cur, starts_cur - interval])  # [2H]
     if jax.default_backend() == "tpu" and block % 128 == 0:
-        # fused Pallas fetch: aligned DMA + MXU lane rotation + windowing
-        # (~2x the XLA gather at engine shapes; exact)
+        # fused Pallas fetch: aligned DMA + MXU lane rotation + windowing.
+        # Isolated component timing suggests the XLA gather is faster at
+        # bulk shapes (h = 32: 6.5 vs 8.7 ms, benchmarks/profile_step.py),
+        # but in the FUSED step the Pallas path wins end to end (1783x vs
+        # 1582x aggregate measured) — XLA pipelines the gather worse in
+        # context, so keep Pallas at every shape.
         from bauklank_tpu.ops.pallas.frames import gather_frames_windowed
 
         fr = gather_frames_windowed(

@@ -55,6 +55,13 @@ def main():
     n_streams = 64
     hops = 32
     config = preset_default(channels=2, sample_rate=sr)
+    # the serving pool dispatches the formants-off compile of the step when
+    # no stream uses formant controls (serve/pool.StreamPool.step; the
+    # reference engine gates the same way) — this bench's params are
+    # formant-neutral, so measure that path
+    from bauklank_tpu.engine.batched import formants_off
+
+    config = formants_off(config)
     log(f"device={jax.devices()[0]}  config=block{config.block}/int{config.interval}  streams={n_streams}")
 
     rng = np.random.default_rng(0)

@@ -29,7 +29,7 @@ def main():
         pass
 
     from bauklank_tpu.engine import core as ec
-    from bauklank_tpu.engine.batched import batched_step_jit, init_batched_state
+    from bauklank_tpu.engine.batched import batched_process_chunk, init_batched_state
     from bauklank_tpu.engine.config import preset_default
     from bauklank_tpu.engine.offline import frame_ends_for
     from bauklank_tpu.engine.params import StretchParams
@@ -68,8 +68,9 @@ def main():
         print(f"{name:34s} {dt:8.2f} ms")
         return out
 
-    # --- the fused whole ----------------------------------------------------
-    timeit("full step", lambda: batched_step_jit(config, states, audios, ends, params))
+    # --- the fused whole (non-donating jit: the closure reuses `states`) ----
+    full = jax.jit(functools.partial(batched_process_chunk, config))
+    timeit("full step", lambda: full(states, audios, ends, params)[1])
 
     wa, ws, band_f = ec._window_consts(block, interval, config.window_beta)
     starts = jnp.concatenate([ends - block, ends - block - interval], axis=1)  # [S, 2H]
