@@ -111,7 +111,7 @@ def _interp_real(x: jnp.ndarray, pos: jnp.ndarray, oob: str, tile: int, window: 
             ii[:, None] == (i0 + 1)[None, :]
         ) * w[None, :]
         return jnp.einsum(
-            "...i,io->...o", x, m.astype(x.dtype), precision=jax.lax.Precision.HIGHEST
+            "...i,io->...o", x, m.astype(x.dtype), precision=jax.lax.Precision.HIGH
         )
 
     if (
@@ -156,7 +156,7 @@ def _interp_real(x: jnp.ndarray, pos: jnp.ndarray, oob: str, tile: int, window: 
     ) * (w * valid1)[:, None, :]  # [n_tiles, window, tile]
 
     out = jnp.einsum(
-        "t...w,twj->...tj", wins, m.astype(x.dtype), precision=jax.lax.Precision.HIGHEST
+        "t...w,twj->...tj", wins, m.astype(x.dtype), precision=jax.lax.Precision.HIGH
     )
     out = out.reshape(x.shape[:-1] + (n_tiles * tile,))
     return out[..., :bo]
