@@ -259,9 +259,11 @@ class StretchNode:
             deficit = n_samples - self._fifo.shape[1]
             hops_needed = -(-deficit // self.interval_samples)
             # bucket large pulls into big dispatches (compiled per bucket);
-            # small pulls keep hops_per_dispatch-granularity control latency
+            # small pulls keep hops_per_dispatch-granularity control latency.
+            # 256-hop buckets matter on remote-attached devices: a bulk
+            # render is bounded by dispatch round trips, not device time
             hops = self.hops_per_dispatch
-            for bucket in (64, 16):
+            for bucket in (256, 64, 16):
                 if hops_needed >= bucket:
                     hops = bucket
                     break

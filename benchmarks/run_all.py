@@ -215,6 +215,15 @@ def config5(quick):
 
 
 def main():
+    import jax
+
+    # persistent compile cache (same as bench.py): first-touch compiles on
+    # the tunneled TPU cost minutes per config without it
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/bauklank_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--quick", action="store_true")
