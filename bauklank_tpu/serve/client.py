@@ -44,6 +44,7 @@ class ControlClient:
         self.connected = False
         self._stop = asyncio.Event()
         self._ws = None
+        self._analysis_futs: dict[str, list] = {}
 
     async def send_set(self, channel: str, key: str, value) -> None:
         if self._ws is None:
@@ -51,6 +52,17 @@ class ControlClient:
         await self._ws.send(json.dumps(
             {"type": "set", "channel": channel, "key": key, "value": value}
         ))
+
+    async def request_analysis(self, slot: str, timeout: float = 5.0) -> dict:
+        """Request scope/spectrum/levels for a voice (the servable Scope,
+        reference app/Scope.mjs:398-428).  Returns the ``analysis`` reply."""
+        if self._ws is None:
+            raise ConnectionError("not connected")
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        self._analysis_futs.setdefault(slot, []).append(fut)
+        await self._ws.send(json.dumps({"type": "analyze", "slot": slot}))
+        return await asyncio.wait_for(fut, timeout)
 
     def stop(self) -> None:
         self._stop.set()
@@ -104,6 +116,10 @@ class ControlClient:
             self.controller_status = msg
         elif t == "set" and self.on_set:
             self.on_set(msg)
+        elif t == "analysis":
+            for fut in self._analysis_futs.pop(msg.get("slot", ""), []):
+                if not fut.done():
+                    fut.set_result(msg)
         # legacy single-app forms (app/app.mjs:466-488)
         elif t == "state" and self.on_set:
             for k, v in (msg.get("values") or {}).items():

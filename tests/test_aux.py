@@ -79,3 +79,37 @@ def test_pool_checkpoint_resume_sample_continuity(tmp_path):
         np.concatenate(ref, axis=1), np.concatenate(got, axis=1), atol=1e-5
     )
     assert pool2.metrics()["steps"] == 10
+
+
+def test_fidelity_pool_checkpoint_resume(tmp_path):
+    """Checkpoint/resume a FIDELITY pool: the spectral state (including the
+    carried MINSTD seed — a uint32 leaf) must round-trip sample-exactly."""
+    import numpy as np
+
+    from bauklank_tpu.serve.pool import StreamPool
+    from bauklank_tpu.utils.checkpoint import load_pool, save_pool
+    from tests.util import tone
+
+    sr = 8000.0
+
+    def fresh():
+        pool = StreamPool(capacity=2, sample_rate=sr, channels=1,
+                          max_track_sec=2.0, names=["A", "B"],
+                          engine="fidelity", hops_per_step=1)
+        pool.load_track("A", [tone(440.0, int(sr), sr)])
+        # rate 0.25 -> timeFactor 4 -> the MINSTD path advances the seed
+        pool.start("A", when=0.0, offset=0.0, rate=0.25)
+        return pool
+
+    pool = fresh()
+    for _ in range(4):
+        pool.step()
+    save_pool(tmp_path / "ck", pool)
+    want = [np.asarray(pool.step()[0]) for _ in range(3)]
+
+    pool2 = fresh()
+    pool2.load_track("A", [tone(440.0, int(sr), sr)])
+    load_pool(tmp_path / "ck", pool2)
+    got = [np.asarray(pool2.step()[0]) for _ in range(3)]
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)

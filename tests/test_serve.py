@@ -838,3 +838,35 @@ def test_status_page_control_surface():
     import re
     m = re.search(r"const slots = (\[.*?\]);", body)
     assert m and json.loads(m.group(1)) == ["A", "B"]
+
+
+def test_control_client_request_analysis():
+    """ControlClient.request_analysis round-trips the analyze protocol."""
+    from bauklank_tpu.serve.client import ControlClient
+
+    async def scenario():
+        port = _free_port()
+        pool = _pool()
+        pool.load_track("A", [tone(440.0, int(SR), SR)] * 2)
+        pool.start("A", when=0.0, offset=0.0, rate=1.0)
+        for _ in range(4):
+            pool.step()
+        server = ControlServer(pool=pool, engine_slots=["A", "B"],
+                               ws_host="127.0.0.1", ws_port=port,
+                               scan_hardware=False)
+        stask = asyncio.create_task(server.run())
+        await asyncio.sleep(0.2)
+        client = ControlClient(f"ws://127.0.0.1:{port}", engine_slots=["A"])
+        ctask = asyncio.create_task(client.run())
+        for _ in range(100):
+            if client.connected:
+                break
+            await asyncio.sleep(0.05)
+        msg = await client.request_analysis("A")
+        assert msg["slot"] == "A" and len(msg["spectrum"]) > 0
+        client.stop()
+        server.stop()
+        ctask.cancel()
+        stask.cancel()
+
+    asyncio.run(scenario())
