@@ -95,6 +95,37 @@ def _unit(phase: np.ndarray) -> jnp.ndarray:
     return jax.lax.complex(jnp.cos(jnp.asarray(p)), jnp.sin(jnp.asarray(p)))
 
 
+def _ri(z: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+
+
+def _cx(a: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.complex(a[..., 0], a[..., 1])
+
+
+def _scan_hops(cfg, state, cur, prev, time_factor, mult, limit,
+               formant_factor=None, formant_compensation=None, formant_base=None):
+    """lax.scan of spectral_hop over hops.  Complex arrays cross the scan
+    boundary as stacked [..., 2] float32 pairs: scan with complex64
+    carries/inputs/outputs is UNIMPLEMENTED on the TPU backend (while
+    associative_scan complex works — see engine.spectral's band scan)."""
+    st_r = state._replace(prev_output=_ri(state.prev_output))
+
+    def body(st_r, x):
+        cur_r, prev_r = x
+        st = st_r._replace(prev_output=_cx(st_r.prev_output))
+        st2, out = spectral_hop(
+            cfg, st, _cx(cur_r), _cx(prev_r), time_factor, mult, limit,
+            formant_factor=formant_factor,
+            formant_compensation=formant_compensation,
+            formant_base=formant_base,
+        )
+        return st2._replace(prev_output=_ri(st2.prev_output)), _ri(out)
+
+    st_r, outs_r = jax.lax.scan(body, st_r, (_ri(cur), _ri(prev)))
+    return st_r._replace(prev_output=_cx(st_r.prev_output)), _cx(outs_r)
+
+
 def analyse_frames(cfg: SpectralConfig, audio: jnp.ndarray, ends: jnp.ndarray):
     """Batched blob analyses: frames ENDING at ``ends``, windowed, zero-
     padded to the fft size, half-bin transformed, zero-phase referenced to
@@ -131,13 +162,7 @@ def _render_jit(
     both = jnp.concatenate([frame_ends, frame_ends - cfg.interval])
     specs = analyse_frames(cfg, audio, both)   # [2H, C, bands]
     cur, prev = specs[:h], specs[h:]
-
-    def body(st, x):
-        si, sp = x
-        st, out = spectral_hop(cfg, st, si, sp, time_factor, mult, limit)
-        return st, out
-
-    state, outs = jax.lax.scan(body, state, (cur, prev))
+    state, outs = _scan_hops(cfg, state, cur, prev, time_factor, mult, limit)
     frames = synthesise_frames(cfg, outs)      # [C, H, block]
     ola = framing.overlap_add(frames, cfg.interval, n_out)
     # measured placement: frame h lands at (h+1)*interval — shift right
@@ -178,18 +203,12 @@ def fidelity_chunk(
     both = jnp.concatenate([frame_ends, frame_ends - interval])
     specs = analyse_frames(cfg, audio, both)
     cur, prev = specs[:h], specs[h:]
-
-    def body(st, x):
-        si, sp = x
-        st2, out = spectral_hop(
-            cfg, st, si, sp, time_factor, mult, limit,
-            formant_factor=formant_factor,
-            formant_compensation=formant_compensation,
-            formant_base=formant_base,
-        )
-        return st2, out
-
-    new_spec_state, outs = jax.lax.scan(body, spec_state, (cur, prev))
+    new_spec_state, outs = _scan_hops(
+        cfg, spec_state, cur, prev, time_factor, mult, limit,
+        formant_factor=formant_factor,
+        formant_compensation=formant_compensation,
+        formant_base=formant_base,
+    )
     frames = synthesise_frames(cfg, outs)            # [C, H, block]
     total = h * interval + interval + block          # span of all frames
     ola = framing.overlap_add(frames, interval, total - interval)

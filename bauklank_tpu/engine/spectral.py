@@ -138,6 +138,14 @@ def init_spectral_state(cfg: SpectralConfig, seed: int = 1) -> SpectralState:
     # seed: the blob seeds from std::random_device at construction (reduced
     # mod 2^31-1, clamped >= 1; docs/WASM-ALGO.md "Misc"); exactness tests
     # pass the live engine's observed state (addr 6672).
+    return _init_spectral_state_jit(cfg, int(seed))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _init_spectral_state_jit(cfg: SpectralConfig, seed: int) -> SpectralState:
+    # jitted so the complex zeros materialize ON DEVICE: complex64 cannot
+    # cross host<->device on some TPU attachment paths (project invariant;
+    # same treatment as engine.core._init_state_jit)
     return SpectralState(
         prev_output=jnp.zeros((cfg.channels, cfg.bands), jnp.complex64),
         prev_pred_energy=jnp.zeros((cfg.channels, cfg.bands), jnp.float32),
@@ -545,18 +553,30 @@ def spectral_hop(
     has_lower_s = jnp.arange(b_n) >= 1
     has_lower_l = jnp.arange(b_n) >= long_step
 
+    # lax.scan cannot move complex64 through carries/inputs/stacked outputs
+    # on the TPU backend (UNIMPLEMENTED; associative_scan complex is fine) —
+    # every complex operand rides the scan as a stacked [..., 2] float32
+    # pair and is reassembled with lax.complex inside the body.
+    def ri(z):  # complex [...] -> float32 [..., 2]
+        return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+
+    def cx(a):  # float32 [..., 2] -> complex
+        return jax.lax.complex(a[..., 0], a[..., 1])
+
     xs = (
-        d1, d2, u1 + u2, pe_mc, pi_mc, mc,
-        lock.T, pred_energy.T, pred_input.T,           # [B, C]
+        ri(d1), ri(d2), ri(u1 + u2), pe_mc, ri(pi_mc), mc,
+        ri(lock.T), pred_energy.T, ri(pred_input.T),   # [B, C(, 2)]
         has_lower_s, has_lower_l,
     )
 
     def body(ring, x):
-        d1b, d2b, ub, peb, pib, mcb, lockb, pec, pic, hs, hl = x
-        # ring: [long_step, C] finalized outputs of the last long_step bands
+        d1r, d2r, ur, peb, pir, mcb, lockr, pec, picr, hs, hl = x
+        d1b, d2b, ub, pib = cx(d1r), cx(d2r), cx(ur), cx(pir)
+        lockb, pic = cx(lockr), cx(picr)
+        # ring: [long_step, C, 2] finalized outputs of the last bands
         oh = (jnp.arange(c_n) == mcb).astype(jnp.float32)
-        out_m1 = jnp.sum(ring[-1] * oh)  # band b-1, leader channel
-        out_mL = jnp.sum(ring[0] * oh)   # band b-long_step
+        out_m1 = jnp.sum(cx(ring[-1]) * oh)  # band b-1, leader channel
+        out_mL = jnp.sum(cx(ring[0]) * oh)   # band b-long_step
         ph = ub
         ph = ph + jnp.where(hs, out_m1 * d1b, 0.0)
         ph = ph + jnp.where(hl, out_mL * d2b, 0.0)
@@ -573,12 +593,12 @@ def spectral_hop(
         p2_c = jnp.where(tiny_c, jnp.square(jnp.abs(pic)) + EPS, p2_c)
         out_c = jnp.sqrt(pec / p2_c).astype(jnp.complex64) * ph_c
         out_b = jnp.where(jnp.arange(c_n) == mcb, out_mc, out_c)
-        ring = jnp.concatenate([ring[1:], out_b[None]], axis=0)
-        return ring, out_b
+        ring = jnp.concatenate([ring[1:], ri(out_b)[None]], axis=0)
+        return ring, ri(out_b)
 
-    ring0 = jnp.zeros((long_step, c_n), jnp.complex64)
-    _, outs = jax.lax.scan(body, ring0, xs, unroll=8)
-    out = outs.T  # [C, B]
+    ring0 = jnp.zeros((long_step, c_n, 2), jnp.float32)
+    _, outs_ri = jax.lax.scan(body, ring0, xs, unroll=8)
+    out = cx(outs_ri).T  # [C, B]
 
     return SpectralState(
         prev_output=out, prev_pred_energy=pred_energy, rng=new_rng,
