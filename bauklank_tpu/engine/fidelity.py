@@ -210,18 +210,27 @@ def fidelity_chunk(
         formant_base=formant_base,
     )
     frames = synthesise_frames(cfg, outs)            # [C, H, block]
-    total = h * interval + interval + block          # span of all frames
-    ola = framing.overlap_add(frames, interval, total - interval)
-    ola = jnp.pad(ola, ((0, 0), (interval, 0)))      # frames start at +I
-    ola = ola.at[:, : block + interval].add(tail)
-    emit = ola[:, : h * interval] * active
-    new_tail = ola[:, h * interval :]
+    emit, new_tail = _ola_emit(cfg, frames, tail, active, h)
     # freeze state while inactive
     new_spec_state = jax.tree.map(
         lambda a, b: jnp.where(active > 0, a, b), new_spec_state, spec_state
     )
     new_tail = jnp.where(active > 0, new_tail, tail)
     return (new_spec_state, new_tail), emit
+
+
+def _ola_emit(cfg: SpectralConfig, frames, tail, active, h: int):
+    """Overlap-add + tail carry for one stream: frame ``i`` lands at chunk
+    samples [(i+1)*interval, (i+1)*interval + block) (the measured split-on
+    placement); contributions past the emitted chunk carry in the tail."""
+    interval, block = cfg.interval, cfg.block
+    total = h * interval + interval + block
+    ola = framing.overlap_add(frames, interval, total - interval)
+    ola = jnp.pad(ola, ((0, 0), (interval, 0)))      # frames start at +I
+    ola = ola.at[:, : block + interval].add(tail)
+    emit = ola[:, : h * interval] * active
+    new_tail = ola[:, h * interval :]
+    return emit, new_tail
 
 
 def init_fidelity_state(cfg: SpectralConfig):
@@ -242,20 +251,47 @@ def batched_fidelity_chunk(
     cfg: SpectralConfig, states, audios, ends, tf, mult, limit, active,
     formant_factor=None, formant_compensation=None, formant_base=None,
 ):
-    """vmap of :func:`fidelity_chunk` over a leading stream axis.  The
-    spectral band scan runs in lockstep across all streams — that is the
-    intended TPU mapping (one sequential scan, wide vector lanes)."""
-    if formant_factor is None:
-        return jax.vmap(
-            lambda st, au, en, t, m, l, a: fidelity_chunk(cfg, st, au, en, t, m, l, a)
-        )(states, audios, ends, tf, mult, limit, active)
-    return jax.vmap(
-        lambda st, au, en, t, m, l, a, ff, fc, fb: fidelity_chunk(
-            cfg, st, au, en, t, m, l, a,
-            formant_factor=ff, formant_compensation=fc, formant_base=fb,
+    """Whole-pool fidelity step: analyses/synthesis vmapped over streams,
+    the hop scan shared, and the sequential band chain of each hop executed
+    as ONE Pallas kernel with streams on the vector lanes
+    (engine.spectral.spectral_hop_batched).  A vmapped per-stream scan left
+    fidelity serving latency-bound at ~16 us/band of XLA loop overhead."""
+    from bauklank_tpu.engine.spectral import spectral_hop_batched
+
+    spec_states, tails = states
+    h = ends.shape[1]
+    interval, block = cfg.interval, cfg.block
+    both = jnp.concatenate([ends, ends - interval], axis=1)  # [S, 2H]
+    specs = jax.vmap(lambda au, en: analyse_frames(cfg, au, en))(audios, both)
+    cur = jnp.moveaxis(specs[:, :h], 1, 0)    # [H, S, C, bands]
+    prev = jnp.moveaxis(specs[:, h:], 1, 0)
+
+    st_r = spec_states._replace(prev_output=_ri(spec_states.prev_output))
+
+    def body(st_r, x):
+        cur_r, prev_r = x
+        st = st_r._replace(prev_output=_cx(st_r.prev_output))
+        st2, out = spectral_hop_batched(
+            cfg, st, _cx(cur_r), _cx(prev_r), tf, mult, limit,
+            formant_factor, formant_compensation, formant_base,
         )
-    )(states, audios, ends, tf, mult, limit, active,
-      formant_factor, formant_compensation, formant_base)
+        return st2._replace(prev_output=_ri(st2.prev_output)), _ri(out)
+
+    st_r, outs_r = jax.lax.scan(body, st_r, (_ri(cur), _ri(prev)))
+    new_spec_state = st_r._replace(prev_output=_cx(st_r.prev_output))
+    outs = jnp.moveaxis(_cx(outs_r), 0, 1)    # [S, H, C, bands]
+    frames = jax.vmap(lambda o: synthesise_frames(cfg, o))(outs)  # [S, C, H, blk]
+    emit, new_tails = jax.vmap(
+        lambda fr, tl, a: _ola_emit(cfg, fr, tl, a, h)
+    )(frames, tails, active)
+    # freeze state while inactive (per stream)
+    def freeze(a, b):
+        mask = active.reshape((-1,) + (1,) * (a.ndim - 1)) > 0
+        return jnp.where(mask, a, b)
+
+    new_spec_state = jax.tree.map(freeze, new_spec_state, spec_states)
+    new_tails = freeze(new_tails, tails)
+    return (new_spec_state, new_tails), emit
 
 
 def render_fidelity(

@@ -41,6 +41,7 @@ __all__ = [
     "blob_window",
     "init_spectral_state",
     "spectral_hop",
+    "spectral_hop_batched",
 ]
 
 EPS = 1e-15  # the blob's noise floor (measured; pymodel.EPS)
@@ -414,38 +415,59 @@ def _formant_gain(
     fm = inv * fr
     fm = jnp.where(fm > limit, (1.0 - formant_factor) * limit + fr, fm)
     pos = fm * fft - 0.5
-    env_m = _get_fractional(sm[None], pos[None])[0]
+    env_m = _get_fractional(sm, pos)
     env_m = jnp.where(pos < 0.0, 0.0, env_m)
     ratio = env_m / (sm + jnp.float32(_FORMANT_TINY))
     gain = jnp.where(active, jnp.square(ratio), 1.0)
     return gain, new_v, new_w
 
 
-def _take_along_last(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """take_along_axis(-1) that works for complex64 on the TPU backend
-    (complex gather is unimplemented there — gather real/imag separately)."""
-    if jnp.iscomplexobj(arr):
-        re = jnp.take_along_axis(jnp.real(arr), idx, axis=-1)
-        im = jnp.take_along_axis(jnp.imag(arr), idx, axis=-1)
-        return jax.lax.complex(re, im)
-    return jnp.take_along_axis(arr, idx, axis=-1)
-
-
 def _get_fractional(arr: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Complex/real linear interpolation over the last axis with zeros
-    outside [0, B) — the blob's getFractional.  arr [..., B], pos [..., B]."""
+    """Complex/real linear interpolation along the band axis with zeros
+    outside [0, B) — the blob's getFractional.
+
+    arr [..., B]; pos [B] — ONE position table shared by every leading
+    axis (all engine call sites look up per-band positions identically
+    across channels).  The lookup runs as a MAJOR-axis row gather on the
+    transposed array: a minor-axis take_along_axis lowers to a scalar
+    loop on TPU (measured 50-80x slower at engine shapes), while row
+    gathers vectorize; complex gathers are unimplemented on the backend,
+    so real/imag gather separately."""
     b = arr.shape[-1]
     i0 = jnp.floor(pos).astype(jnp.int32)
-    frac = (pos - i0).astype(jnp.float32)
-    if jnp.iscomplexobj(arr):
-        frac = frac.astype(jnp.complex64)
+    frac = (pos - i0).astype(jnp.float32)          # [B]
+
+    is_c = jnp.iscomplexobj(arr)
+    planes = (
+        jnp.stack([jnp.real(arr), jnp.imag(arr)], axis=0) if is_c else arr[None]
+    )                                               # [P?, ..., B] real
+    arr_t = jnp.moveaxis(planes, -1, 0)             # [B, P?, ...]
 
     def at(idx):
-        ok = (idx >= 0) & (idx < b)
-        v = _take_along_last(arr, jnp.clip(idx, 0, b - 1))
-        return v * ok.astype(v.dtype)
+        ok = ((idx >= 0) & (idx < b)).astype(jnp.float32)
+        v = jnp.take(arr_t, jnp.clip(idx, 0, b - 1), axis=0)  # [K, P?, ...]
+        return v * ok.reshape((idx.shape[0],) + (1,) * (v.ndim - 1))
 
-    return at(i0) * (1.0 - frac) + at(i0 + 1) * frac
+    out_t = (
+        at(i0) * frac_shape((1.0 - frac), arr_t.ndim)
+        + at(i0 + 1) * frac_shape(frac, arr_t.ndim)
+    )
+    out = jnp.moveaxis(out_t, 0, -1)                # [P?, ..., B]
+    if is_c:
+        return jax.lax.complex(out[0], out[1])
+    return out[0]
+
+
+def frac_shape(f: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return f.reshape((f.shape[0],) + (1,) * (ndim - 1))
+
+
+def _get_fractional_multi(arr: jnp.ndarray, pos_list) -> list:
+    """getFractional at several position tables over the SAME array with one
+    row gather (concatenated indices) — one gather kernel instead of K."""
+    k = len(pos_list)
+    out = _get_fractional(arr, jnp.concatenate(pos_list))
+    return list(jnp.split(out, k, axis=-1))
 
 
 def spectral_hop(
@@ -465,6 +487,31 @@ def spectral_hop(
     Formant processing (step 5) runs only when ``cfg.formants`` compiled it
     in AND formant params were passed; neutral params then reproduce the
     blob's skip exactly (identity gain, frozen trackers)."""
+    chain, carried = _chain_inputs(
+        cfg, state, spec_in, spec_prev, time_factor, mult, limit,
+        formant_factor, formant_compensation, formant_base,
+    )
+    out = _band_chain_scan(cfg, chain)
+    new_rng, new_fv, new_fw, pred_energy = carried
+    return SpectralState(
+        prev_output=out, prev_pred_energy=pred_energy, rng=new_rng,
+        f_value_ema=new_fv, f_weighted_ema=new_fw,
+    ), out
+
+
+def _chain_inputs(
+    cfg: SpectralConfig,
+    state: SpectralState,
+    spec_in: jnp.ndarray,
+    spec_prev: jnp.ndarray,
+    time_factor, mult, limit,
+    formant_factor=None, formant_compensation=None, formant_base=None,
+):
+    """Steps 3-6 + the step-7 gathers: everything before the sequential
+    band chain.  Returns ``(chain_inputs, (new_rng, new_fv, new_fw,
+    pred_energy))`` where chain_inputs = (d1, d2, u12, pe_mc, pi_mc, mc,
+    lock, pred_energy, pred_input) — the exact operand set of the chain
+    (consumed by :func:`_band_chain_scan` or the batched Pallas kernel)."""
     c_n, b_n = cfg.channels, cfg.bands
     fft, interval, long_step = cfg.fft, cfg.interval, cfg.long_step
     b_idx = jnp.arange(b_n, dtype=jnp.float32)
@@ -497,10 +544,22 @@ def spectral_hop(
         new_fv, new_fw = state.f_value_ema, state.f_weighted_ema
 
     # -- step 6: predictions + time-prediction ------------------------------
-    pos = input_bin[None].repeat(c_n, axis=0)        # [C, B]
-    pred_energy = _get_fractional(energy_c, pos) * jnp.maximum(grad, 0.0)[None]
-    pred_input = _get_fractional(spec_in, pos)
-    prev_interp = _get_fractional(spec_prev, pos)
+    # (the five spec_in lookups — map position + the four step-7 gather
+    # families — run as ONE concatenated row gather further below)
+    d_down, d_up, new_rng = _minstd_steps(state.rng, time_factor, b_n)
+    zf = jnp.zeros((1,), jnp.float32)
+    us_pos = jnp.concatenate([input_bin[1:], zf]) - d_up
+    ul_pos = (
+        jnp.concatenate([input_bin[long_step:], jnp.zeros((long_step,), jnp.float32)])
+        - d_up * long_step
+    )
+    pred_input, down_s, down_l, us_g, ul_g = _get_fractional_multi(
+        spec_in,
+        [input_bin, input_bin - d_down, input_bin - d_down * long_step,
+         us_pos, ul_pos],
+    )
+    pred_energy = _get_fractional(energy_c, input_bin) * jnp.maximum(grad, 0.0)[None]
+    prev_interp = _get_fractional(spec_prev, input_bin)
     tw = pred_input * jnp.conj(prev_interp)
     # the prediction buffer is PER CHANNEL (stereo memory dump at 6660):
     # each channel's denominator reads its own slot before overwriting it,
@@ -515,17 +574,6 @@ def spectral_hop(
     # MINSTD-random per-band draws at tf > 2 (four distinct gather-position
     # families; with the deterministic step they collapse to the shared
     # shifted arrays us[b] == ds[b+1] etc.).
-    d_down, d_up, new_rng = _minstd_steps(state.rng, time_factor, b_n)
-    down_s = _get_fractional(spec_in, pos - d_down[None])
-    down_l = _get_fractional(spec_in, pos - (d_down * long_step)[None])
-    zf = jnp.zeros((1,), jnp.float32)
-    us_pos = jnp.concatenate([input_bin[1:], zf]) - d_up
-    ul_pos = (
-        jnp.concatenate([input_bin[long_step:], jnp.zeros((long_step,), jnp.float32)])
-        - d_up * long_step
-    )
-    us_g = _get_fractional(spec_in, jnp.broadcast_to(us_pos, (c_n, b_n)))
-    ul_g = _get_fractional(spec_in, jnp.broadcast_to(ul_pos, (c_n, b_n)))
     mc = jnp.argmax(pred_energy, axis=0)              # [B] leading channel
 
     onehot_mc = (jnp.arange(c_n)[:, None] == mc[None, :])  # [C, B] bool
@@ -550,6 +598,16 @@ def spectral_hop(
     # cross-channel lock factors conj(tw_c) = conj(pi_mc * conj(pi_c))
     lock = jnp.conj(pi_mc[None] * jnp.conj(pred_input))  # [C, B]
 
+    chain = (d1, d2, u1 + u2, pe_mc, pi_mc, mc, lock, pred_energy, pred_input)
+    return chain, (new_rng, new_fv, new_fw, pred_energy)
+
+
+def _band_chain_scan(cfg: SpectralConfig, chain) -> jnp.ndarray:
+    """The sequential Gauss-Seidel chain as one lax.scan (single-stream
+    path; the batched pool path uses the Pallas kernel instead)."""
+    c_n, b_n, long_step = cfg.channels, cfg.bands, cfg.long_step
+    d1, d2, u12, pe_mc, pi_mc, mc, lock, pred_energy, pred_input = chain
+
     has_lower_s = jnp.arange(b_n) >= 1
     has_lower_l = jnp.arange(b_n) >= long_step
 
@@ -564,7 +622,7 @@ def spectral_hop(
         return jax.lax.complex(a[..., 0], a[..., 1])
 
     xs = (
-        ri(d1), ri(d2), ri(u1 + u2), pe_mc, ri(pi_mc), mc,
+        ri(d1), ri(d2), ri(u12), pe_mc, ri(pi_mc), mc,
         ri(lock.T), pred_energy.T, ri(pred_input.T),   # [B, C(, 2)]
         has_lower_s, has_lower_l,
     )
@@ -598,9 +656,82 @@ def spectral_hop(
 
     ring0 = jnp.zeros((long_step, c_n, 2), jnp.float32)
     _, outs_ri = jax.lax.scan(body, ring0, xs, unroll=8)
-    out = cx(outs_ri).T  # [C, B]
+    return cx(outs_ri).T  # [C, B]
 
+
+def spectral_hop_batched(
+    cfg: SpectralConfig,
+    state: SpectralState,      # leading [S] axis on every leaf
+    spec_in: jnp.ndarray,      # [S, C, bands]
+    spec_prev: jnp.ndarray,    # [S, C, bands]
+    time_factor, mult, limit,  # [S]
+    formant_factor=None, formant_compensation=None, formant_base=None,
+    use_kernel: bool | None = None,
+):
+    """One hop for a whole pool: steps 3-6 vmapped, the sequential band
+    chain as ONE Pallas kernel with streams on the vector lanes
+    (ops/pallas/bandchain) — as a vmapped lax.scan the chain's loop
+    overhead dominates (~16 us/band, measured), making fidelity serving
+    latency-bound; in-kernel the same chain is a fori_loop over
+    VMEM-resident planes.  ``use_kernel=None`` auto-selects the kernel on
+    TPU and the scan elsewhere."""
+    c_n, b_n = cfg.channels, cfg.bands
+    if formant_factor is None:
+        gather = jax.vmap(
+            lambda st, si, sp, t, m, l: _chain_inputs(cfg, st, si, sp, t, m, l)
+        )
+        chain, carried = gather(state, spec_in, spec_prev, time_factor, mult, limit)
+    else:
+        gather = jax.vmap(
+            lambda st, si, sp, t, m, l, a, b, c: _chain_inputs(
+                cfg, st, si, sp, t, m, l, a, b, c
+            )
+        )
+        chain, carried = gather(
+            state, spec_in, spec_prev, time_factor, mult, limit,
+            formant_factor, formant_compensation, formant_base,
+        )
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        out = _band_chain_kernel(cfg, chain)
+    else:
+        out = jax.vmap(functools.partial(_band_chain_scan, cfg))(chain)
+    new_rng, new_fv, new_fw, pred_energy = carried
     return SpectralState(
         prev_output=out, prev_pred_energy=pred_energy, rng=new_rng,
         f_value_ema=new_fv, f_weighted_ema=new_fw,
     ), out
+
+
+def _band_chain_kernel(cfg: SpectralConfig, chain) -> jnp.ndarray:
+    """Pack batched chain inputs into the bandchain kernel layout
+    ([planes, B, S_padded], streams on lanes) and unpack [S, C, B]."""
+    from bauklank_tpu.ops.pallas.bandchain import LANE, band_chain
+
+    d1, d2, u12, pe_mc, pi_mc, mc, lock, pred_energy, pred_input = chain
+    s_n, b_n = pe_mc.shape
+    c_n = cfg.channels
+    pad = (-s_n) % LANE
+
+    def bt(x):  # [S, B] -> [B, S_padded] f32
+        x = x.astype(jnp.float32).T
+        return jnp.pad(x, ((0, 0), (0, pad)))
+
+    def bt2(z):  # complex [S, B] -> (re, im) [B, S_padded]
+        return bt(jnp.real(z)), bt(jnp.imag(z))
+
+    lead = jnp.stack([*bt2(d1), *bt2(d2), *bt2(u12), *bt2(pi_mc), bt(pe_mc)])
+    onehot = mc[:, None, :] == jnp.arange(c_n)[None, :, None]  # [S, C, B]
+    chan = jnp.stack([
+        jnp.stack([
+            bt(onehot[:, c].astype(jnp.float32)),
+            *bt2(lock[:, c]),
+            bt(pred_energy[:, c]),
+            *bt2(pred_input[:, c]),
+        ])
+        for c in range(c_n)
+    ])  # [C, 6, B, S_padded]
+    out = band_chain(lead, chan, cfg.long_step, None)  # [C, 2, B, Sp]
+    out_c = jax.lax.complex(out[:, 0], out[:, 1])[..., :s_n]  # [C, B, S]
+    return out_c.transpose(2, 0, 1)  # [S, C, B]
