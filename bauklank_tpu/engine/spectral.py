@@ -293,11 +293,18 @@ def _find_peaks_map(energy: jnp.ndarray, smoothed: jnp.ndarray,
     f_in = (center + 0.5) / fft
     f_out = jnp.where(f_in > limit, f_in + (mult - 1.0) * limit, f_in * mult)
     out_bin = f_out * fft - 0.5
-    # pad invalid tail so searchsorted keeps every band below the sentinel
+    # pad invalid tail so the rank count keeps every band below the sentinel
     out_sorted = jnp.where(valid, out_bin, jnp.inf)
 
-    # per output band: the segment [p, q) it falls in
-    idx = jnp.searchsorted(out_sorted, b_idx, side="right")  # in [0, n_peaks]
+    # per output band: the segment [p, q) it falls in.
+    # idx[b] = #(out_sorted <= b) == searchsorted(out_sorted, b, 'right'),
+    # but since the queries are the integer band grid it reduces to a
+    # histogram + cumsum (a sort-based searchsorted costs a [2B] sort per
+    # stream on TPU): 1{x <= b} == 1{b >= ceil(x)}.
+    j = jnp.clip(jnp.ceil(out_sorted), 0.0, float(bands)).astype(jnp.int32)
+    j = jnp.where(jnp.isfinite(out_sorted), j, bands)  # sentinels never count
+    hist = jnp.zeros((bands + 1,), jnp.int32).at[j].add(valid.astype(jnp.int32))
+    idx = jnp.cumsum(hist)[:bands]                     # in [0, n_peaks]
     has = n_peaks > 0
     i_p = jnp.clip(idx - 1, 0, jnp.maximum(n_peaks - 1, 0))
     i_q = jnp.clip(idx, 0, jnp.maximum(n_peaks - 1, 0))

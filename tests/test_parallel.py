@@ -69,3 +69,48 @@ def test_sharded_matches_unsharded():
     step = sharded_step(CFG, mesh)
     _, out_sh = step(*sh_args)
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_sh), atol=2e-4)
+
+
+def test_fidelity_stream_sharded_matches_unsharded():
+    """The blob-exact engine also shards over the stream axis: the batched
+    fidelity chunk under a NamedSharding must match the unsharded result
+    (multi-chip fidelity serving = pure data parallelism; the sequential
+    band chain has no cross-stream dependence)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from bauklank_tpu.engine.fidelity import (
+        SpectralConfig, batched_fidelity_chunk, init_batched_fidelity_state,
+    )
+    from bauklank_tpu.parallel import stream_mesh
+
+    cfg = SpectralConfig(2, 512, 128)
+    s_n = 8
+    rng = np.random.default_rng(4)
+    audios = jnp.asarray(rng.standard_normal((s_n, 2, 8000)).astype(np.float32) * 0.3)
+    ends = jnp.asarray(
+        np.stack([np.arange(1, 5) * cfg.interval + 600 + 37 * i for i in range(s_n)]),
+        jnp.int32,
+    )
+    tf = jnp.asarray(np.linspace(0.8, 4.0, s_n), jnp.float32)
+    mult = jnp.asarray(np.linspace(0.8, 1.4, s_n), jnp.float32)
+    lim = jnp.full((s_n,), 0.2, jnp.float32)
+    active = jnp.ones((s_n,), jnp.float32)
+    states = init_batched_fidelity_state(cfg, s_n)
+
+    _, out_ref = batched_fidelity_chunk(
+        cfg, states, audios, ends, tf, mult, lim, active
+    )
+
+    mesh = stream_mesh(8)
+    sh = NamedSharding(mesh, PartitionSpec("stream"))
+    put = lambda tree: jax.tree.map(
+        lambda x: jax.device_put(x, sh) if getattr(x, "ndim", 0) >= 1 else x, tree
+    )
+    states2 = init_batched_fidelity_state(cfg, s_n)
+    _, out_sh = jax.jit(
+        lambda st, au, en, t, m, l, a: batched_fidelity_chunk(
+            cfg, st, au, en, t, m, l, a
+        )
+    )(put(states2), put(audios), put(ends), put(tf), put(mult), put(lim), put(active))
+    assert len(out_sh.sharding.device_set) >= 1
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_sh), atol=2e-4)
