@@ -101,8 +101,18 @@ class _Bucket:
         return self.free.pop()
 
     def render_chunk(self) -> np.ndarray:
-        """One bucket step -> master [2, hop] numpy."""
+        """One bucket step -> master [2, hop] numpy (possibly [2, 0] while
+        a pipelined fetch primes)."""
         if self.mode == "file":
+            if self.owner.pipeline_fetch:
+                # async d2h: dispatch now, materialize the master from
+                # pipeline_depth steps back (StreamPool.step docstring).
+                # The sample STREAM is unchanged — only wall-clock overlap
+                # — because the FIFO consumes chunks in order.
+                master, _ = self.pool.step(fetch="pipeline")
+                if master is None:
+                    return np.zeros((2, 0), np.float32)
+                return np.asarray(master)
             master, _ = self.pool.step(fetch=True)
             return np.asarray(master)
         out = np.asarray(self.pool.step())  # [S, C, n]
@@ -142,13 +152,19 @@ class UnifiedPool:
         max_track_sec: float = 30.0,
         quantum: int | None = None,
         bucket_capacity: int = 4,
+        pipeline_fetch: bool = False,
     ) -> None:
+        # pipeline_fetch: overlap each file bucket's device-to-host master
+        # transfer with subsequent dispatches (hides the transport round
+        # trip on remote-attached devices; adds pipeline_depth hops of
+        # render-ahead per bucket, identical sample streams)
         self.sample_rate = float(sample_rate)
         self.channels = channels
         self.engine = engine
         self.max_track_sec = max_track_sec
         self.quantum = quantum or round(sample_rate * 0.03)
         self.bucket_capacity = bucket_capacity
+        self.pipeline_fetch = pipeline_fetch
         self.out_pos = 0
         self.buckets: dict[tuple, _Bucket] = {}
         self.voices: dict[str, _Voice] = {}

@@ -188,3 +188,33 @@ def test_ws_set_block_ms_takes_effect_on_serving_voice():
         task.cancel()
 
     asyncio.run(scenario())
+
+
+def test_unified_pool_fidelity_engine():
+    """UnifiedPool buckets honor engine="fidelity" (blob-exact voices in
+    the heterogeneous pool)."""
+    pool = _pool(names=["A"], engine="fidelity")
+    pool.load_track("A", [tone(440.0, int(2 * SR), SR)] * 2)
+    pool.start("A", when=0.0, offset=0.0, rate=1.0)
+    out = np.concatenate([pool.render(256) for _ in range(30)], axis=1)
+    assert np.isfinite(out).all()
+    tail = out[0, -2048:]
+    assert np.abs(tail).max() > 1e-3
+    spec = np.abs(np.fft.rfft(tail * np.hanning(tail.shape[0])))
+    hz = np.arange(spec.shape[0]) * SR / tail.shape[0]
+    assert spec[np.abs(hz - 440) < 15].max() > 0.3 * spec.max()
+
+
+def test_unified_pipeline_fetch_identical_stream():
+    """pipeline_fetch overlaps bucket d2h with later dispatches; the
+    rendered sample stream must be identical to blocking fetch."""
+
+    def run(pipeline):
+        pool = _pool(names=["A", "B"], pipeline_fetch=pipeline)
+        pool.load_track("A", [tone(440.0, int(SR), SR)] * 2)
+        pool.load_track("B", [tone(330.0, int(SR), SR)] * 2)
+        pool.start("A", when=0.0, offset=0.0, rate=0.8)
+        pool.start("B", when=0.0, offset=0.0, rate=1.2, semitones=3)
+        return np.concatenate([pool.render(256) for _ in range(16)], axis=1)
+
+    np.testing.assert_array_equal(run(False), run(True))
