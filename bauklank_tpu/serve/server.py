@@ -531,7 +531,10 @@ def main(argv=None) -> None:
         if args.pool == "unified":
             from bauklank_tpu.serve.unified import UnifiedPool
 
-            pool = UnifiedPool(names=slots[: args.pool_capacity])
+            # pipelined bucket fetches: identical sample stream, transport
+            # round trip hidden behind subsequent dispatches
+            pool = UnifiedPool(names=slots[: args.pool_capacity],
+                               pipeline_fetch=True)
         else:
             pool = StreamPool(capacity=args.pool_capacity, names=slots[: args.pool_capacity])
     server = ControlServer(pool=pool, engine_slots=slots,
