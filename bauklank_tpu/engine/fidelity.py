@@ -197,26 +197,22 @@ def fidelity_chunk(
     the work entirely, a deliberate improvement the reference itself notes
     as a TODO, app/SignalsmithStretch.mjs:868-869).
     """
-    spec_state, tail = state
-    h = frame_ends.shape[0]
-    interval, block = cfg.interval, cfg.block
-    both = jnp.concatenate([frame_ends, frame_ends - interval])
-    specs = analyse_frames(cfg, audio, both)
-    cur, prev = specs[:h], specs[h:]
-    new_spec_state, outs = _scan_hops(
-        cfg, spec_state, cur, prev, time_factor, mult, limit,
-        formant_factor=formant_factor,
-        formant_compensation=formant_compensation,
-        formant_base=formant_base,
-    )
-    frames = synthesise_frames(cfg, outs)            # [C, H, block]
-    emit, new_tail = _ola_emit(cfg, frames, tail, active, h)
-    # freeze state while inactive
-    new_spec_state = jax.tree.map(
-        lambda a, b: jnp.where(active > 0, a, b), new_spec_state, spec_state
-    )
-    new_tail = jnp.where(active > 0, new_tail, tail)
-    return (new_spec_state, new_tail), emit
+    # one-stream wrapper over the batched path: on TPU the sequential band
+    # chain then runs in the Pallas bandchain kernel (lane-padded — still
+    # ~5x the lax.scan), on CPU the vmapped scan (identical math)
+    one = lambda x: jnp.asarray(x)[None]
+    states = jax.tree.map(one, state)
+    args = [one(audio), one(frame_ends), one(time_factor), one(mult),
+            one(limit), one(active)]
+    kw = {}
+    if formant_factor is not None:
+        kw = dict(
+            formant_factor=one(formant_factor),
+            formant_compensation=one(formant_compensation),
+            formant_base=one(formant_base),
+        )
+    new_states, emit = batched_fidelity_chunk(cfg, states, *args, **kw)
+    return jax.tree.map(lambda x: x[0], new_states), emit[0]
 
 
 def _ola_emit(cfg: SpectralConfig, frames, tail, active, h: int):
