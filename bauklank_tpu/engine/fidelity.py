@@ -147,7 +147,7 @@ def synthesise_frames(cfg: SpectralConfig, specs: jnp.ndarray) -> jnp.ndarray:
     return blocks * jnp.asarray(w)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 3, 8))
 def _render_jit(
     cfg: SpectralConfig,
     audio: jnp.ndarray,       # [C, T]
@@ -157,12 +157,21 @@ def _render_jit(
     mult: jnp.ndarray,
     limit: jnp.ndarray,
     state: SpectralState,
+    formants: tuple | None = None,  # static (factor, compensation, base)
 ):
     h = frame_ends.shape[0]
     both = jnp.concatenate([frame_ends, frame_ends - cfg.interval])
     specs = analyse_frames(cfg, audio, both)   # [2H, C, bands]
     cur, prev = specs[:h], specs[h:]
-    state, outs = _scan_hops(cfg, state, cur, prev, time_factor, mult, limit)
+    kw = {}
+    if formants is not None:
+        ff, fc, fb = formants
+        kw = dict(
+            formant_factor=jnp.float32(ff),
+            formant_compensation=jnp.float32(fc),
+            formant_base=jnp.float32(fb),
+        )
+    state, outs = _scan_hops(cfg, state, cur, prev, time_factor, mult, limit, **kw)
     frames = synthesise_frames(cfg, outs)      # [C, H, block]
     ola = framing.overlap_add(frames, cfg.interval, n_out)
     # measured placement: frame h lands at (h+1)*interval — shift right
@@ -301,19 +310,33 @@ def render_fidelity(
     interval_ms: float = 30.0,
     state: SpectralState | None = None,
     seed: int = 1,
+    formant_semitones: float = 0.0,
+    formant_compensation: bool = False,
+    formant_base_hz: float = 0.0,
 ) -> np.ndarray:
     """Render ``n_out`` frames — same signature/semantics as the golden
     harness' native.render_reference (split on).  audio [C, T] float32."""
     sr = float(sample_rate)
     block = round(block_ms / 1000 * sr)
     interval = round(interval_ms / 1000 * sr)
-    cfg = SpectralConfig(channels=audio.shape[0], block=block, interval=interval)
+    use_formants = formant_semitones != 0.0 or formant_compensation
+    cfg = SpectralConfig(
+        channels=audio.shape[0], block=block, interval=interval,
+        formants=use_formants,
+    )
     n_hops = -(-n_out // interval)
     ends = hop_frame_ends(cfg, n_hops, rate, sr)
     mult = float(np.exp2(semitones / 12.0))
     limit = (tonality_hz / sr) / np.sqrt(mult)
     if state is None:
         state = init_spectral_state(cfg, seed=seed)
+    formants = None
+    if use_formants:
+        formants = (
+            float(np.exp2(formant_semitones / 12.0)),
+            1.0 if formant_compensation else 0.0,
+            formant_base_hz / sr,
+        )
     _, out = _render_jit(
         cfg,
         jnp.asarray(audio, jnp.float32),
@@ -323,5 +346,6 @@ def render_fidelity(
         jnp.float32(mult),
         jnp.float32(limit),
         state,
+        formants,
     )
     return np.asarray(out)

@@ -34,9 +34,10 @@ def golden():
     return np.load(FIXTURES)
 
 
-@pytest.mark.parametrize("name,rate,semitones,channels", material.CASES)
-def test_snr_vs_reference_wasm(golden, name, rate, semitones, channels):
-    """>=40 dB vs the reference renderer (BASELINE.md).  2 s, full matrix."""
+@pytest.mark.parametrize("name,rate,semitones,channels,extras", material.CASES)
+def test_snr_vs_reference_wasm(golden, name, rate, semitones, channels, extras):
+    """>=40 dB vs the reference renderer (BASELINE.md).  2 s, full matrix
+    incl. rate < 0.5 (MINSTD) and the formant cases."""
     from bauklank_tpu.engine.fidelity import render_fidelity
 
     x = material.case_input(rate, channels)
@@ -53,8 +54,13 @@ def test_snr_vs_reference_wasm(golden, name, rate, semitones, channels):
         block_ms=material.BLOCK_MS,
         interval_ms=material.INTERVAL_MS,
         seed=seed,
+        **material.renderer_extras(extras),
     )
-    snr = material.snr_db(golden[name], got, SKIP)
+    # auto-f0 formant cases bound the window (see material.CASES: the f0
+    # index is a discrete switch; even the float64 oracle diverges from
+    # the blob past ~1.2 s through the phase recurrence)
+    end = int(extras.get("_compare_sec", material.SECONDS) * material.SR)
+    snr = material.snr_db(golden[name][..., :end], got[..., :end], SKIP)
     assert snr > 40.0, f"{name}: {snr:.1f} dB"
 
 
@@ -63,7 +69,7 @@ def test_fixtures_match_live_blob(golden):
     """Fixture freshness: a live blob render must equal the committed one."""
     from golden_wasm import native
 
-    name, rate, semitones, channels = material.CASES[0]
+    name, rate, semitones, channels, _extras = material.CASES[0]
     x = material.case_input(rate, channels)
     n_out = int(material.SECONDS * material.SR)
     ref = native.render_reference(

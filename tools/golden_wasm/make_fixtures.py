@@ -23,7 +23,7 @@ OUT = pathlib.Path(__file__).resolve().parents[2] / "tests" / "golden" / "golden
 def main() -> None:
     arrays = {}
     n_out = int(material.SECONDS * material.SR)
-    for name, rate, semitones, channels in material.CASES:
+    for name, rate, semitones, channels, extras in material.CASES:
         x = material.case_input(rate, channels)
         seeds: list = []
         ref = native.render_reference(
@@ -37,6 +37,7 @@ def main() -> None:
             interval_ms=material.INTERVAL_MS,
             split_computation=True,
             seed_out=seeds,
+            **material.renderer_extras(extras),
         )
         arrays[name] = ref.astype(np.float32)
         # MINSTD state at render start: needed to replicate rate < 0.5

@@ -14,25 +14,48 @@ import numpy as np
 
 SR = 44100.0
 
-#: the golden case matrix: (name, rate, semitones, channels)
+#: the golden case matrix: (name, rate, semitones, channels, extras)
+#: extras: optional formant controls forwarded to the renderers
+#: (formant_semitones / formant_compensation / formant_base_hz)
 CASES = [
-    ("r05_st0", 0.5, 0.0, 1),
-    ("r05_stm12", 0.5, -12.0, 1),
-    ("r05_stp12", 0.5, 12.0, 1),
-    ("r10_st0", 1.0, 0.0, 1),
-    ("r10_stm12", 1.0, -12.0, 1),
-    ("r10_stp12", 1.0, 12.0, 1),
-    ("r20_st0", 2.0, 0.0, 1),
-    ("r20_stm12", 2.0, -12.0, 1),
-    ("r20_stp12", 2.0, 12.0, 1),
-    ("stereo_r07_stp5", 0.7, 5.0, 2),
-    ("stereo_r15_stm12", 1.5, -12.0, 2),
+    ("r05_st0", 0.5, 0.0, 1, {}),
+    ("r05_stm12", 0.5, -12.0, 1, {}),
+    ("r05_stp12", 0.5, 12.0, 1, {}),
+    ("r10_st0", 1.0, 0.0, 1, {}),
+    ("r10_stm12", 1.0, -12.0, 1, {}),
+    ("r10_stp12", 1.0, 12.0, 1, {}),
+    ("r20_st0", 2.0, 0.0, 1, {}),
+    ("r20_stm12", 2.0, -12.0, 1, {}),
+    ("r20_stp12", 2.0, 12.0, 1, {}),
+    ("stereo_r07_stp5", 0.7, 5.0, 2, {}),
+    ("stereo_r15_stm12", 1.5, -12.0, 2, {}),
     # rate < 0.5 engages the MINSTD-random vertical steps (timeFactor > 2);
     # replicating them requires the per-render seed stored as {name}__seed
-    ("r025_st0", 0.25, 0.0, 1),
-    ("r025_stp12", 0.25, 12.0, 1),
-    ("r0001_st0", 0.001, 0.0, 1),  # the kiosk's deployed rate
+    ("r025_st0", 0.25, 0.0, 1, {}),
+    ("r025_stp12", 0.25, 12.0, 1, {}),
+    ("r0001_st0", 0.001, 0.0, 1, {}),  # the kiosk's deployed rate
+    # formant processing end-to-end (step 5): shift, explicit base,
+    # compensation under pitch shift, and everything combined.
+    # "_compare_sec" (test-side option, stripped before rendering) bounds
+    # the SNR window for AUTO-F0 cases: the f0 peak index is a DISCRETE
+    # switch, and a sub-ULP energy difference eventually flips a harmonic
+    # fold — measured on this material the float64 oracle itself diverges
+    # from the blob at ~1.2 s (70 dB -> 14 dB) through the phase
+    # recurrence.  Auto-f0 exactness is pinned at the hop level instead
+    # (tests/test_pymodel.py, tests/test_spectral.py).
+    ("r10_fp7", 1.0, 0.0, 1, {"formant_semitones": 7.0, "_compare_sec": 1.0}),
+    ("r10_fm5_base200", 1.0, 0.0, 1,
+     {"formant_semitones": -5.0, "formant_base_hz": 200.0}),
+    ("r10_stp12_comp", 1.0, 12.0, 1,
+     {"formant_compensation": True, "_compare_sec": 1.0}),
+    ("stereo_r07_stp5_f4_comp", 0.7, 5.0, 2,
+     {"formant_semitones": 4.0, "formant_compensation": True}),
 ]
+
+
+def renderer_extras(extras: dict) -> dict:
+    """The renderer-facing subset of a case's extras (drops test options)."""
+    return {k: v for k, v in extras.items() if not k.startswith("_")}
 
 SECONDS = 2.0
 BLOCK_MS = 120.0

@@ -50,6 +50,9 @@ def render_model(
     block_ms: float = 120.0,
     interval_ms: float = 30.0,
     seed: int | None = None,
+    formant_semitones: float = 0.0,
+    formant_compensation: bool = False,
+    formant_base_hz: float = 0.0,
 ) -> np.ndarray:
     """Render ``n_out`` frames like native.render_reference (split on).
 
@@ -113,6 +116,10 @@ def render_model(
             time_factor=1.0 / rate,
             freq_multiplier=mult,
             freq_tonality_limit=limit,
+            formant_factor=float(np.exp2(formant_semitones / 12.0))
+            if formant_semitones else 1.0,
+            formant_compensation=formant_compensation,
+            formant_base=formant_base_hz / sr,
         )
         for c in range(channels):
             acc[c, o + interval : o + interval + block] += synthesise(out_spec[c], w, fft)
