@@ -34,6 +34,9 @@ class VoicePreset:
     block_ms: float = 200.0
     overlap: float = 1.0
     split_computation: bool = True
+    # UI rate clamp: the multi app caps at 2 (app/multi/app.mjs:483), the
+    # single/dev app at 4 (app/app.mjs:538) — pass to StreamPool(max_rate=)
+    max_rate: float = 2.0
 
     def config(self, channels: int = 2, sample_rate: float = 44100.0) -> StretchConfig:
         block = round(self.block_ms / 1000.0 * sample_rate)
@@ -61,7 +64,8 @@ KIOSK_ENGINE_A = VoicePreset(name="kiosk-A", pan=-1.0)
 KIOSK_ENGINE_B = VoicePreset(name="kiosk-B", pan=+1.0)
 # dev/mac single-engine app (app/app.mjs:78-98)
 DEV_SINGLE = VoicePreset(
-    name="dev-single", volume=0.35, pan=0.0, block_ms=60.0, overlap=1.5
+    name="dev-single", volume=0.35, pan=0.0, block_ms=60.0, overlap=1.5,
+    max_rate=4.0,  # single-app clamp (app/app.mjs:538)
 )
 
 PRESETS = {p.name: p for p in (KIOSK_ENGINE_A, KIOSK_ENGINE_B, DEV_SINGLE)}

@@ -47,6 +47,9 @@ CONTROL_CLAMPS = {
 _TIMEMAP_KEYS = {
     "active", "rate", "semitones", "tone", "tonalityHz", "formantSemitones",
     "formantCompensation", "formantBaseHz", "loopStart", "loopEnd",
+    # playback-slider seek: the reference drag handler schedules {input: v}
+    # (app/multi/app.mjs:735-737)
+    "input",
 }
 
 # keys whose values must be finite numbers (everything except the booleans)
@@ -145,6 +148,7 @@ class StreamPool:
         names: list[str] | None = None,
         hops_per_step: int = 1,
         engine: str = "fast",
+        max_rate: float = 2.0,
     ) -> None:
         # engine: "fast" (hop-parallel TPU-first, engine.core) or
         # "fidelity" (blob-exact reference algorithm, engine.spectral).
@@ -153,6 +157,11 @@ class StreamPool:
         if engine not in ("fast", "fidelity"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
+        # per-pool clamp table: the multi app clamps rate to [1e-5, 2]
+        # (app/multi/app.mjs:483) while the single/dev app allows up to 4
+        # (app/app.mjs:538) — dev-preset pools pass max_rate=4.0
+        self.clamps = dict(CONTROL_CLAMPS)
+        self.clamps["rate"] = (CONTROL_CLAMPS["rate"][0], float(max_rate))
         self.sample_rate = float(sample_rate)
         self.config = config or preset_default(channels, sample_rate)
         if engine == "fidelity":
@@ -312,8 +321,8 @@ class StreamPool:
             return True
         if key not in _TIMEMAP_KEYS:
             return False
-        if key in CONTROL_CLAMPS or (key == "tone"):
-            lo, hi = CONTROL_CLAMPS.get("semitones" if key == "tone" else key, (None, None))
+        if key in self.clamps or (key == "tone"):
+            lo, hi = self.clamps.get("semitones" if key == "tone" else key, (None, None))
             if lo is not None:
                 value = float(np.clip(value, lo, hi))
         s.timemap.schedule({key: value, "output": self.output_time + lookahead})
@@ -334,6 +343,15 @@ class StreamPool:
 
     def input_time(self, slot: str) -> float:
         return self.slots[self._by_name[slot]].timemap.input_time_at(self.output_time)
+
+    def is_playing(self, slot: str) -> bool:
+        """True when the voice is in active file playback — the branch in
+        which the reference worklet posts ``['time', inputTime]``
+        (app/SignalsmithStretch.mjs:884-942)."""
+        if slot not in self._by_name:
+            return False
+        s = self.slots[self._by_name[slot]]
+        return s.loaded and bool(s.timemap.current().active)
 
     # --------------------------------------------------------------- step
     def step(self, fetch: bool | str = False):

@@ -97,6 +97,19 @@ def controller_status_msg(
     return msg
 
 
+def time_msg(slot: str, input_time: float) -> dict:
+    """Playback-position push: the WS form of the worklet's throttled
+    ``['time', inputTime]`` message (app/SignalsmithStretch.mjs:938-942)
+    that drives the reference UI's 5 Hz playback slider
+    (app/multi/app.mjs:740-753)."""
+    return {
+        "type": "time",
+        "slot": slot,
+        "engine": slot,
+        "inputTime": round(float(input_time), 6),
+    }
+
+
 def set_msg(channel: str, key: str, value, engine: str | None = None) -> dict:
     """A forwarded control change; the server tags the engine slot
     (server-multi.py:857-858)."""

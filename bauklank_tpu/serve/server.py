@@ -36,6 +36,7 @@ import asyncio
 import json
 import logging
 import math
+import threading
 import time
 from typing import Iterable
 
@@ -85,6 +86,7 @@ class ControlServer:
         controller_mode: str = "channel",
         pinned_slots: dict[str, str] | None = None,
         max_controllers: int | None = None,
+        time_push_sec: float = 0.2,
     ) -> None:
         # controller_mode:
         #   "channel" — the deployed reference semantics: ONE controller
@@ -133,6 +135,15 @@ class ControlServer:
         self._msg_count = 0
         self._inflight: set = set()
         self._stop = asyncio.Event()
+        # playback-position push cadence — the reference playback slider
+        # refreshes at 5 Hz (app/multi/app.mjs:740-753); 0 disables
+        self.time_push_sec = time_push_sec
+        # pool steps run off the event loop (asyncio.to_thread) so a slow
+        # (fidelity-mode) device step cannot stall WS/serial handling; this
+        # lock serializes the stepping thread against control mutations —
+        # the role the reference's render-thread message queue plays
+        # (app/SignalsmithStretch.mjs:746-777)
+        self._pool_lock = threading.Lock()
 
     # ------------------------------------------------------------ transport
     def add_transport(self, t: Transport) -> None:
@@ -140,6 +151,21 @@ class ControlServer:
         FakeController instances in here; hardware integration lists
         pyserial ports instead)."""
         self._transports.append(t)
+
+    # ----------------------------------------------------- locked pool access
+    def _locked_apply_set(self, slot: str, key: str, value) -> bool:
+        with self._pool_lock:
+            return self.pool.apply_set(slot, key, value)
+
+    def _locked_step(self):
+        with self._pool_lock:
+            return self.pool.step(fetch=True)
+
+    def _locked_analyze(self, slot: str):
+        if self.pool is None:
+            return None
+        with self._pool_lock:
+            return self.pool.analyze(slot)
 
     # ------------------------------------------------------------ broadcast
     async def broadcast(self, msg: dict) -> None:
@@ -208,9 +234,8 @@ class ControlServer:
                 elif msg.get("type") == "analyze":
                     # monitoring request (the servable Scope, C13): reply to
                     # the requesting client only — not broadcast
-                    result = (
-                        self.pool.analyze(str(msg.get("slot", "")))
-                        if self.pool is not None else None
+                    result = await asyncio.to_thread(
+                        self._locked_analyze, str(msg.get("slot", ""))
                     )
                     await websocket.send(json.dumps(
                         {"type": "analysis", **(result or {"slot": msg.get("slot"), "error": "unavailable"})}
@@ -234,7 +259,7 @@ class ControlServer:
             return
         if self.pool is not None:
             pool_key = {"tone": "semitones", "volume": "volumePercent"}.get(key, key)
-            self.pool.apply_set(channel, pool_key, value)
+            await asyncio.to_thread(self._locked_apply_set, channel, pool_key, value)
         out = protocol.set_msg(msg.get("channel") or channel, key, value, engine=channel)
         await self.broadcast(out)
 
@@ -411,9 +436,30 @@ class ControlServer:
             if ahead >= self.render_ahead_sec:
                 await asyncio.sleep(min(0.05, ahead - self.render_ahead_sec + 1e-3))
                 continue
-            master, _ = self.pool.step(fetch=True)
-            self.audio_sink(master)
-            await asyncio.sleep(0)  # yield to control traffic
+            # off-loop: a fidelity-mode step (tens of ms of device time)
+            # and a laggy sink must not stall WS/serial handling on the
+            # event loop; the sink is therefore invoked from a worker
+            # thread — sinks must be thread-safe
+            master, _ = await asyncio.to_thread(self._locked_step)
+            await asyncio.to_thread(self.audio_sink, master)
+
+    async def time_status_task(self) -> None:
+        """Playback-position push: per-voice ``{"type":"time",slot,
+        inputTime}`` at the reference playback-UI cadence (the worklet's
+        throttled ``['time', inputTime]`` post, app/SignalsmithStretch.mjs:
+        938-942, consumed by the 5 Hz slider, app/multi/app.mjs:740-753).
+        Only actively-playing voices report, like the reference's
+        file-playback branch."""
+        if self.pool is None or self.time_push_sec <= 0:
+            return
+        while not self._stop.is_set():
+            for slot in self.engine_slots:
+                playing = getattr(self.pool, "is_playing", lambda s: False)(slot)
+                if playing:
+                    await self.broadcast(
+                        protocol.time_msg(slot, self.pool.input_time(slot))
+                    )
+            await asyncio.sleep(self.time_push_sec)
 
     async def heartbeat_task(self) -> None:
         while not self._stop.is_set():
@@ -455,7 +501,7 @@ class ControlServer:
             return None  # proceed with the WS handshake
         if request.path.startswith("/status?analyze="):
             slot = request.path.split("=", 1)[1]
-            result = self.pool.analyze(slot) if self.pool is not None else None
+            result = self._locked_analyze(slot)
             body = json.dumps(result or {"slot": slot, "error": "unavailable"})
             return connection.respond(http.HTTPStatus.OK, body + "\n")
         if request.path == "/status":
@@ -493,6 +539,7 @@ class ControlServer:
                 self._supervise(self.encoder_status_task, "encoder-status"),
                 self._supervise(self.heartbeat_task, "heartbeat"),
                 self._supervise(self.render_loop_task, "render-loop"),
+                self._supervise(self.time_status_task, "time-status"),
             )
 
     def stop(self) -> None:

@@ -82,6 +82,9 @@ function buildPanels(){
     }
     h += `<div class=row><label>formant comp.</label>
       <span class=chk><input type=checkbox id="c-${slot}-fc"></span></div>`;
+    h += `<div class=row><label>playback</label>
+      <input type=range id="p-${slot}" min=0 max=30 step=0.01 value=0>
+      <span id="pt-${slot}">0.00 s</span></div>`;
     h += `<canvas id="scope-${slot}" width=420 height=70></canvas>`;
     h += `<canvas id="spec-${slot}" width=420 height=70></canvas>`;
     div.innerHTML = h;
@@ -95,6 +98,10 @@ function buildPanels(){
     }
     $(`c-${slot}-fc`).onchange =
       e => send(slot, 'formantCompensation', e.target.checked);
+    // drag-to-seek, like the reference playback slider
+    // (app/multi/app.mjs:735-737: drag schedules {input: v})
+    const p = $(`p-${slot}`);
+    p.onchange = () => send(slot, 'input', +p.value);
   }
 }
 function drawScope(slot, scope){
@@ -144,6 +151,15 @@ function connect(){
       if (r && document.activeElement !== r && document.activeElement !== n){
         r.value = m.value; n.value = m.value;
       }
+    } else if (m.type === 'time'){
+      // 5 Hz playback position (server time_status_task; reference
+      // slider refresh app/multi/app.mjs:740-753)
+      const p = $(`p-${m.slot}`), pt = $(`pt-${m.slot}`);
+      if (p && document.activeElement !== p){
+        if (+p.max < m.inputTime) p.max = Math.ceil(m.inputTime);
+        p.value = m.inputTime;
+      }
+      if (pt) pt.textContent = m.inputTime.toFixed(2) + ' s';
     } else if (m.type === 'analysis' && m.scope){
       drawScope(m.slot, m.scope); drawSpec(m.slot, m.spectrum);
     }

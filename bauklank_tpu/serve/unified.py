@@ -318,6 +318,15 @@ class UnifiedPool:
     def input_time(self, slot: str) -> float:
         return self.voices[slot].timemap.input_time_at(self.output_time)
 
+    def is_playing(self, slot: str) -> bool:
+        """True when the voice is in active file playback (the reference's
+        time-posting branch, app/SignalsmithStretch.mjs:884-942)."""
+        v = self.voices.get(slot)
+        if v is None or v.mode != "file" or v.bucket_key is None:
+            return False
+        b = self.buckets[v.bucket_key]
+        return b.pool.is_playing(v.inner)
+
     # ----------------------------------------------------------------- step
     def render(self, n: int) -> np.ndarray:
         """Pull n master samples: every bucket steps at its own hop cadence
