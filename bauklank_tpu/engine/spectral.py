@@ -236,14 +236,27 @@ def _unit_phase(phase: np.ndarray) -> jnp.ndarray:
     return jax.lax.complex(jnp.cos(jnp.asarray(p)), jnp.sin(jnp.asarray(p)))
 
 
-def _smooth_bidirectional(e: jnp.ndarray, coef: float, carry):
+def _smooth_bidirectional(e: jnp.ndarray, coef, carry):
     """The blob's two-pass one-pole smoother (backward then forward) with
     the carry threaded between passes.  y_b = y_prev + coef*(e_b - y_prev)
     is affine, so each direction is one ``associative_scan``.
 
-    e: [..., B] -> (smoothed [..., B], carry [...])
+    e: [..., B] -> (smoothed [..., B], carry [...]).  ``coef`` may be a
+    scalar or an array over the leading (batch) axes — constant along B, so
+    both scan directions see the same coefficients.
     """
-    a = 1.0 - coef
+    if isinstance(coef, (float, int)):
+        # python-scalar path: 1-coef subtracts in f64 THEN casts, exactly
+        # like the original full_like(vals, 1.0 - coef) (bit-compat with
+        # the hop-exact pymodel pinning)
+        a = jnp.broadcast_to(jnp.asarray(1.0 - coef, e.dtype), e.shape)
+        coef = jnp.broadcast_to(jnp.asarray(coef, e.dtype), e.shape)
+    else:
+        coef = jnp.asarray(coef, e.dtype)
+        if coef.ndim:
+            coef = coef[..., None]
+        coef = jnp.broadcast_to(coef, e.shape)
+        a = 1.0 - coef
 
     def compose(p, q):
         a1, b1 = p
@@ -252,9 +265,7 @@ def _smooth_bidirectional(e: jnp.ndarray, coef: float, carry):
 
     def affine_scan(vals, c0):
         # y_b = a*y_{b-1} + coef*vals_b, y_{-1} = c0
-        coeffs = jnp.full_like(vals, a)
-        offs = coef * vals
-        aa, bb = jax.lax.associative_scan(compose, (coeffs, offs), axis=-1)
+        aa, bb = jax.lax.associative_scan(compose, (a, coef * vals), axis=-1)
         return aa * c0[..., None] + bb
 
     bwd = affine_scan(e[..., ::-1], carry)[..., ::-1]
@@ -339,6 +350,29 @@ def _formant_f0(env_energy: jnp.ndarray, value_ema, weighted_ema, update):
     pymodel._formant_width).  Returns (width, new_value_ema,
     new_weighted_ema); the EMAs only advance when ``update`` is true (the
     blob skips step 5 entirely for formant-neutral hops)."""
+    pv, i5 = _formant_peak(env_energy)
+    return _formant_ema(pv, i5, value_ema, weighted_ema, update)
+
+
+def _formant_ema(pv, i5, value_ema, weighted_ema, update):
+    """The hop-sequential tail of the auto-f0 tracker: 1/16 EMAs of the
+    (folded) peak value and its energy-weighted index, advanced only when
+    ``update``; width = weighted/(value + tiny)."""
+    new_value = value_ema + (pv - value_ema) * jnp.float32(0.0625)
+    new_weighted = weighted_ema + (
+        pv * i5.astype(jnp.float32) - weighted_ema
+    ) * jnp.float32(0.0625)
+    new_value = jnp.where(update, new_value, value_ema)
+    new_weighted = jnp.where(update, new_weighted, weighted_ema)
+    width = new_weighted / (new_value + jnp.float32(_FORMANT_TINY))
+    return width, new_value, new_weighted
+
+
+def _formant_peak(env_energy: jnp.ndarray):
+    """The hop-LOCAL part of the auto-f0 tracker: sequential top-3 peak
+    scan over the envelope + the two harmonic folds.  Returns
+    (peak_value f32, folded index i5 int32) — state-free, so a whole
+    chunk's hops batch through it (vmap over hops x streams)."""
     b_n = env_energy.shape[0]
     e0 = env_energy[0]
     init = (e0, e0, e0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
@@ -374,15 +408,7 @@ def _formant_f0(env_energy: jnp.ndarray, value_ema, weighted_ema, update):
     d2 = jnp.abs(i5 - i4)
     fold2 = do2 & ~((d2 <= i5 // 8) | (d2 >= (i5 * 7) // 8))
     i5 = jnp.where(fold2, i5 % jnp.maximum(d2, 1), i5)
-    pv = peak_val.astype(jnp.float32)
-    new_value = value_ema + (pv - value_ema) * jnp.float32(0.0625)
-    new_weighted = weighted_ema + (
-        pv * i5.astype(jnp.float32) - weighted_ema
-    ) * jnp.float32(0.0625)
-    new_value = jnp.where(update, new_value, value_ema)
-    new_weighted = jnp.where(update, new_weighted, weighted_ema)
-    width = new_weighted / (new_value + jnp.float32(_FORMANT_TINY))
-    return width, new_value, new_weighted
+    return peak_val.astype(jnp.float32), i5
 
 
 def _formant_gain(
@@ -396,7 +422,7 @@ def _formant_gain(
     multiply into the per-channel energies, new_value_ema, new_weighted_ema).
     Formant-neutral params yield the exact identity gain and frozen EMAs
     (matching the blob's gate, wasm2c t173/b_174)."""
-    fft, b_n = cfg.fft, cfg.bands
+    fft = cfg.fft
     mapping = mult != 1.0
     active = (formant_factor != 1.0) | ((formant_compensation != 0.0) & mapping)
     env_e = jnp.sum(energy_c, axis=0)                       # [bands]
@@ -407,6 +433,21 @@ def _formant_gain(
     width = jnp.where(
         auto, w_auto, (formant_base * fft - 0.5).astype(jnp.float32)
     )
+    gain = _formant_gain_from_width(
+        cfg, env_e, width, active, mult, limit,
+        formant_factor, formant_compensation,
+    )
+    return gain, new_v, new_w
+
+
+def _formant_gain_from_width(
+    cfg: SpectralConfig, env_e, width, active, mult, limit,
+    formant_factor, formant_compensation,
+):
+    """The hop-local tail of step 5 once the smoothing width is known:
+    envelope smoothing + the (compensation-aware) frequency remap + the
+    squared-ratio gain.  Batches over hops (width per hop)."""
+    fft, b_n = cfg.fft, cfg.bands
     env = jnp.sqrt(env_e)
     coef = (1.0 / (width * 0.5 + 1.0)).astype(jnp.float32)
     sm, carry = _smooth_bidirectional(env, coef, jnp.zeros(()))
@@ -425,8 +466,7 @@ def _formant_gain(
     env_m = _get_fractional(sm, pos)
     env_m = jnp.where(pos < 0.0, 0.0, env_m)
     ratio = env_m / (sm + jnp.float32(_FORMANT_TINY))
-    gain = jnp.where(active, jnp.square(ratio), 1.0)
-    return gain, new_v, new_w
+    return jnp.where(active, jnp.square(ratio), 1.0)
 
 
 def _get_fractional(arr: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
@@ -607,6 +647,197 @@ def _chain_inputs(
 
     chain = (d1, d2, u1 + u2, pe_mc, pi_mc, mc, lock, pred_energy, pred_input)
     return chain, (new_rng, new_fv, new_fw, pred_energy)
+
+
+@functools.lru_cache(maxsize=32)
+def _minstd_hop_powers(n_draws: int, n_hops: int) -> np.ndarray:
+    """[n_hops + 1] uint32: (48271^n_draws)^h mod (2^31-1) for h = 0..H —
+    the per-hop MINSTD seed advance, precomputed so a whole chunk's draw
+    streams vectorize (seed_h = s * (a^n)^h)."""
+    a_n = pow(MINSTD_A, n_draws, MINSTD_M)
+    out = np.empty(n_hops + 1, np.uint32)
+    p = 1
+    for h in range(n_hops + 1):
+        out[h] = p
+        p = (p * a_n) % MINSTD_M
+    return out
+
+
+def _hop_local_inputs(
+    cfg: SpectralConfig,
+    spec_in: jnp.ndarray,    # [C, bands] complex64 — analysis at the frame
+    spec_prev: jnp.ndarray,  # [C, bands] complex64 — one interval back
+    seed: jnp.ndarray,       # [] uint32 — this hop's MINSTD seed
+    time_factor, mult, limit,
+    fgain: jnp.ndarray | None = None,  # [bands] step-5 gain (or None)
+):
+    """The hop-LOCAL part of steps 3-7 of :func:`_chain_inputs`: everything
+    that does not depend on the carried spectra.  Identical math/op-order to
+    `_chain_inputs` (the hop-exact pinned path) — only the two
+    state-coupled products (``timepred`` and the ``u12`` selections) are
+    deferred to the light sequential pass, their state-free factors
+    returned here (``tw``, ``k1``, ``k2``).  This is what lets a serving
+    chunk precompute ALL hops' smoothers/peak-maps/gathers in one batched
+    pass (vmap over hops x streams) instead of once per scan iteration."""
+    c_n, b_n = cfg.channels, cfg.bands
+    fft, interval, long_step = cfg.fft, cfg.interval, cfg.long_step
+    b_idx = jnp.arange(b_n, dtype=jnp.float32)
+
+    # -- step 3 (hop-local half): re-reference the previous-interval
+    # analysis; the carried prev_output rotates in the sequential pass ----
+    rot = _unit_phase(2.0 * np.pi * (np.arange(b_n) + 0.5) * interval / fft)
+    spec_prev = spec_prev * rot[None]
+
+    # -- step 4: frequency map ---------------------------------------------
+    energy_c = jnp.square(jnp.abs(spec_in))          # [C, B] Band.energy
+    energy = jnp.sum(energy_c, axis=0)               # [B]
+    coef = 1.0 / (0.5 * (fft / interval) + 1.0)
+    sm, carry = _smooth_bidirectional(energy, coef, jnp.zeros(()))
+    sm, _ = _smooth_bidirectional(sm, coef, carry)
+    ib_m, gr_m = _find_peaks_map(energy, sm, mult, limit, b_n, fft)
+    mapping = mult != 1.0
+    input_bin = jnp.where(mapping, ib_m, b_idx)
+    grad = jnp.where(mapping, gr_m, 1.0)
+
+    # -- step 5: formant gain precomputed by the caller --------------------
+    if fgain is not None:
+        energy_c = energy_c * fgain[None]
+
+    # -- step 6: predictions (minus the state-coupled time-twist) ----------
+    d_down, d_up, _ = _minstd_steps(seed, time_factor, b_n)
+    zf = jnp.zeros((1,), jnp.float32)
+    us_pos = jnp.concatenate([input_bin[1:], zf]) - d_up
+    ul_pos = (
+        jnp.concatenate([input_bin[long_step:], jnp.zeros((long_step,), jnp.float32)])
+        - d_up * long_step
+    )
+    pred_input, down_s, down_l, us_g, ul_g = _get_fractional_multi(
+        spec_in,
+        [input_bin, input_bin - d_down, input_bin - d_down * long_step,
+         us_pos, ul_pos],
+    )
+    pred_energy = _get_fractional(energy_c, input_bin) * jnp.maximum(grad, 0.0)[None]
+    prev_interp = _get_fractional(spec_prev, input_bin)
+    tw = pred_input * jnp.conj(prev_interp)           # [C, B]
+
+    # -- step 7 operands ----------------------------------------------------
+    mc = jnp.argmax(pred_energy, axis=0)              # [B] leading channel
+    onehot_mc = (jnp.arange(c_n)[:, None] == mc[None, :])  # [C, B] bool
+    oh_f = onehot_mc.astype(jnp.float32)
+
+    def sel(arr):
+        return jnp.sum(arr * oh_f, axis=0)
+
+    def shift1(a):
+        return jnp.concatenate([a[:, 1:], jnp.zeros((c_n, 1), a.dtype)], axis=1)
+
+    def shiftL(a):
+        return jnp.concatenate(
+            [a[:, long_step:], jnp.zeros((c_n, long_step), a.dtype)], axis=1
+        )
+
+    d1 = sel(pred_input * jnp.conj(down_s))           # lower, short
+    d2 = sel(pred_input * jnp.conj(down_l))           # lower, long
+    # u12 in the sequential pass is sel(shift1(timepred) * K1) +
+    # sel(shiftL(timepred) * K2); fold the onehot into the state-free
+    # factors (exact: onehot is literal 0/1)
+    k1 = jnp.conj(shift1(pred_input) * jnp.conj(us_g)) * oh_f
+    k2 = jnp.conj(shiftL(pred_input) * jnp.conj(ul_g)) * oh_f
+    pe_mc = sel(pred_energy)
+    pi_mc = sel(pred_input)
+    lock = jnp.conj(pi_mc[None] * jnp.conj(pred_input))  # [C, B]
+
+    return dict(
+        d1=d1, d2=d2, k1=k1, k2=k2, tw=tw, pe_mc=pe_mc, pi_mc=pi_mc,
+        mc=mc, lock=lock, pred_energy=pred_energy, pred_input=pred_input,
+    )
+
+
+def chain_inputs_hops(
+    cfg: SpectralConfig,
+    state: SpectralState,      # leading [S] axis on every leaf
+    cur: jnp.ndarray,          # [H, S, C, bands] complex64
+    prev: jnp.ndarray,         # [H, S, C, bands] complex64
+    time_factor, mult, limit,  # [S]
+    formant_factor=None, formant_compensation=None, formant_base=None,
+):
+    """Precompute the chain inputs of ALL hops of a serving chunk in one
+    batched pass (VERDICT r2 item 1): the smoothing scans, peak maps,
+    MINSTD draw streams, row gathers, and the formant chain are hop-local
+    (state-free) once the MINSTD seeds (a data-independent geometric
+    sequence), the formant EMAs (a scalar linear recurrence), and the
+    stale-prediction denominators (a one-hop shift of the hop-local
+    pred_energy) are resolved up front.  Returns ``(xs, carried)``:
+    ``xs`` a dict of [H, S, ...] operand tensors (including ``den``),
+    ``carried = (rng_final, f_value_ema, f_weighted_ema)``.
+    """
+    h = cur.shape[0]
+    b_n = cfg.bands
+    n_draws = 2 * b_n - 2
+    hop_pows = jnp.asarray(_minstd_hop_powers(n_draws, h))       # [H+1]
+    seeds_all = _modmul31(state.rng[None, :], hop_pows[:, None])  # [H+1, S]
+    use = time_factor > 2.0
+    seeds = jnp.where(use[None, :], seeds_all[:h], state.rng[None, :])
+    rng_final = jnp.where(use, seeds_all[h], state.rng)
+
+    fgain = None
+    fv, fw = state.f_value_ema, state.f_weighted_ema
+    if cfg.formants and formant_factor is not None:
+        mapping = mult != 1.0
+        active = (formant_factor != 1.0) | (
+            (formant_compensation != 0.0) & mapping
+        )                                                         # [S]
+        env_e = jnp.sum(jnp.square(jnp.abs(cur)), axis=2)         # [H, S, B]
+        auto = formant_base <= 0.0
+        pv, i5 = jax.vmap(jax.vmap(_formant_peak))(env_e)         # [H, S]
+        upd = active & auto
+
+        def ema_body(carry, x):
+            v, w = carry
+            wid, v2, w2 = _formant_ema(x[0], x[1], v, w, upd)
+            return (v2, w2), wid
+
+        (fv, fw), w_auto = jax.lax.scan(ema_body, (fv, fw), (pv, i5))
+        width = jnp.where(
+            auto[None, :], w_auto,
+            (formant_base * cfg.fft - 0.5).astype(jnp.float32)[None, :],
+        )                                                         # [H, S]
+        fgain = jax.vmap(
+            lambda ee, wd, a, m, l, ff, fc: _formant_gain_from_width(
+                cfg, ee, wd, a, m, l, ff, fc
+            ),
+            in_axes=(1, 1, 0, 0, 0, 0, 0), out_axes=1,
+        )(env_e, width, active, mult, limit,
+          formant_factor, formant_compensation)                   # [H, S, B]
+
+    if fgain is None:
+        f = jax.vmap(
+            jax.vmap(
+                lambda si, sp, sd, t, m, l: _hop_local_inputs(
+                    cfg, si, sp, sd, t, m, l
+                )
+            ),
+            in_axes=(0, 0, 0, None, None, None),
+        )
+        xs = f(cur, prev, seeds, time_factor, mult, limit)
+    else:
+        f = jax.vmap(
+            jax.vmap(
+                lambda si, sp, sd, t, m, l, g: _hop_local_inputs(
+                    cfg, si, sp, sd, t, m, l, g
+                )
+            ),
+            in_axes=(0, 0, 0, None, None, None, 0),
+        )
+        xs = f(cur, prev, seeds, time_factor, mult, limit, fgain)
+
+    # stale prediction denominators: hop h sees max(pe_h, pe_{h-1}) + EPS
+    # (kept real here; the sequential pass casts to complex64 on device,
+    # reproducing the original's complex division bit-for-bit)
+    pe = xs["pred_energy"]                                        # [H, S, C, B]
+    prev_pe = jnp.concatenate([state.prev_pred_energy[None], pe[:-1]], axis=0)
+    xs["den"] = jnp.maximum(pe, prev_pe) + EPS
+    return xs, (rng_final, fv, fw)
 
 
 def _band_chain_scan(cfg: SpectralConfig, chain) -> jnp.ndarray:

@@ -246,3 +246,76 @@ def test_node_fidelity_formants():
         assert np.isfinite(out).all() and np.abs(out).max() > 1e-3
     # formant shift must actually reshape the spectrum
     assert np.abs(shifted - neutral).max() > 1e-3
+
+
+@pytest.mark.parametrize("formants", [False, "auto", "base", "mixed"])
+def test_hop_parallel_chunk_matches_scan_form(formants):
+    """batched_fidelity_chunk (hop-parallel precompute, the round-3 serving
+    path) must equal batched_fidelity_chunk_scan (the original hop-scan
+    form, itself pinned hop-exact vs pymodel) across regimes: rates above
+    and below 0.5 (deterministic + MINSTD vertical steps), pitch shift,
+    and every formant mode (off / auto-f0 / explicit base / mixed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bauklank_tpu.engine.fidelity import (
+        SpectralConfig,
+        batched_fidelity_chunk,
+        batched_fidelity_chunk_scan,
+        init_batched_fidelity_state,
+    )
+
+    sr = 44100.0
+    s, h = 3, 6
+    cfg = SpectralConfig(channels=2, block=512, interval=128,
+                         formants=bool(formants))
+    # tonal material, like the golden fixtures: the engine chaotically
+    # amplifies in-spectrum noise (docs/WASM-ALGO.md "Sensitivity"), which
+    # would amplify graph-reassociation FP noise too
+    t = np.arange(4096) / sr
+    sig = np.stack([
+        np.stack([(0.3 + 0.05 * c) * np.sin(2 * np.pi * (220 + 5 * k) * t)
+                  + 0.2 * np.sin(2 * np.pi * (440 + 3 * c) * t)
+                  for c in range(2)])
+        for k in range(s)
+    ]).astype(np.float32)
+    audios = jnp.asarray(sig)
+    rates = np.array([0.8, 1.5, 0.25], np.float32)  # last engages MINSTD
+    semis = np.array([0.0, 4.0, -7.0], np.float32)
+    ends0 = 600 + (np.arange(h)[None] * 128 * rates[:, None]).round()
+    ends = jnp.asarray(ends0.astype(np.int32))
+    tf = jnp.asarray(1.0 / rates)
+    mult = jnp.asarray(np.exp2(semis / 12.0).astype(np.float32))
+    limit = jnp.asarray((8000.0 / sr) / np.sqrt(np.exp2(semis / 12.0)),
+                        jnp.float32)
+    active = jnp.ones((s,), jnp.float32)
+    kw = {}
+    if formants:
+        base = {"auto": [0.0, 0.0, 0.0],
+                "base": [200.0, 150.0, 300.0],
+                "mixed": [0.0, 200.0, 0.0]}[formants]
+        kw = dict(
+            formant_factor=jnp.asarray(
+                np.exp2(np.array([3.0, -5.0, 0.0]) / 12.0), jnp.float32),
+            formant_compensation=jnp.asarray([0.0, 1.0, 1.0], jnp.float32),
+            formant_base=jnp.asarray(np.array(base) / sr, jnp.float32),
+        )
+    st = init_batched_fidelity_state(cfg, s)
+    # compare chunk-by-chunk FROM THE SAME carried state (the engine
+    # chaotically amplifies sub-ULP differences across hops — docs/
+    # WASM-ALGO.md "Sensitivity" — so graph-reassociation noise forbids
+    # long accumulation); the scan form advances the shared state
+    for k in range(3):
+        e = ends + 64 * k
+        sa, ea = batched_fidelity_chunk(
+            cfg, st, audios, e, tf, mult, limit, active, **kw)
+        sb, eb = batched_fidelity_chunk_scan(
+            cfg, st, audios, e, tf, mult, limit, active, **kw)
+        np.testing.assert_allclose(np.asarray(ea), np.asarray(eb),
+                                   rtol=0, atol=2e-4)
+        assert int(np.abs(np.asarray(sa[0].rng).astype(np.int64)
+                          - np.asarray(sb[0].rng).astype(np.int64)).max()) == 0
+        for la, lb in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-4)
+        st = sb
