@@ -663,7 +663,7 @@ def _minstd_hop_powers(n_draws: int, n_hops: int) -> np.ndarray:
     return out
 
 
-def _hop_local_inputs(
+def _hop_pre_gather(
     cfg: SpectralConfig,
     spec_in: jnp.ndarray,    # [C, bands] complex64 — analysis at the frame
     spec_prev: jnp.ndarray,  # [C, bands] complex64 — one interval back
@@ -671,15 +671,13 @@ def _hop_local_inputs(
     time_factor, mult, limit,
     fgain: jnp.ndarray | None = None,  # [bands] step-5 gain (or None)
 ):
-    """The hop-LOCAL part of steps 3-7 of :func:`_chain_inputs`: everything
-    that does not depend on the carried spectra.  Identical math/op-order to
-    `_chain_inputs` (the hop-exact pinned path) — only the two
-    state-coupled products (``timepred`` and the ``u12`` selections) are
-    deferred to the light sequential pass, their state-free factors
-    returned here (``tw``, ``k1``, ``k2``).  This is what lets a serving
-    chunk precompute ALL hops' smoothers/peak-maps/gathers in one batched
-    pass (vmap over hops x streams) instead of once per scan iteration."""
-    c_n, b_n = cfg.channels, cfg.bands
+    """Steps 3-6 of :func:`_chain_inputs` up to (but excluding) the row
+    gathers: smoothers, peak map, MINSTD draws, gather POSITIONS.  Returns
+    ``(spec_prev_rot, energy_c, input_bin, grad, pos5)`` where ``pos5`` is
+    the concatenated five-family position table ([5B]; same concat order as
+    `_get_fractional_multi` in `_chain_inputs`, so gathering `spec_in` at
+    `pos5` is op-identical to the pinned path)."""
+    b_n = cfg.bands
     fft, interval, long_step = cfg.fft, cfg.interval, cfg.long_step
     b_idx = jnp.arange(b_n, dtype=jnp.float32)
 
@@ -703,7 +701,7 @@ def _hop_local_inputs(
     if fgain is not None:
         energy_c = energy_c * fgain[None]
 
-    # -- step 6: predictions (minus the state-coupled time-twist) ----------
+    # -- step 6: gather positions (minus the state-coupled time-twist) -----
     d_down, d_up, _ = _minstd_steps(seed, time_factor, b_n)
     zf = jnp.zeros((1,), jnp.float32)
     us_pos = jnp.concatenate([input_bin[1:], zf]) - d_up
@@ -711,16 +709,26 @@ def _hop_local_inputs(
         jnp.concatenate([input_bin[long_step:], jnp.zeros((long_step,), jnp.float32)])
         - d_up * long_step
     )
-    pred_input, down_s, down_l, us_g, ul_g = _get_fractional_multi(
-        spec_in,
+    pos5 = jnp.concatenate(
         [input_bin, input_bin - d_down, input_bin - d_down * long_step,
-         us_pos, ul_pos],
+         us_pos, ul_pos]
     )
-    pred_energy = _get_fractional(energy_c, input_bin) * jnp.maximum(grad, 0.0)[None]
-    prev_interp = _get_fractional(spec_prev, input_bin)
+    return spec_prev, energy_c, input_bin, grad, pos5
+
+
+def _hop_post_gather(
+    cfg: SpectralConfig,
+    five: jnp.ndarray,         # [C, 5B] complex — spec_in at the 5 tables
+    pe_raw: jnp.ndarray,       # [C, B] float32 — energy_c at input_bin
+    prev_interp: jnp.ndarray,  # [C, B] complex — rotated prev at input_bin
+    grad: jnp.ndarray,         # [B]
+):
+    """Step-7 operand assembly from gathered rows (state-free factors)."""
+    c_n, long_step = cfg.channels, cfg.long_step
+    pred_input, down_s, down_l, us_g, ul_g = jnp.split(five, 5, axis=-1)
+    pred_energy = pe_raw * jnp.maximum(grad, 0.0)[None]
     tw = pred_input * jnp.conj(prev_interp)           # [C, B]
 
-    # -- step 7 operands ----------------------------------------------------
     mc = jnp.argmax(pred_energy, axis=0)              # [B] leading channel
     onehot_mc = (jnp.arange(c_n)[:, None] == mc[None, :])  # [C, B] bool
     oh_f = onehot_mc.astype(jnp.float32)
@@ -751,6 +759,142 @@ def _hop_local_inputs(
         d1=d1, d2=d2, k1=k1, k2=k2, tw=tw, pe_mc=pe_mc, pi_mc=pi_mc,
         mc=mc, lock=lock, pred_energy=pred_energy, pred_input=pred_input,
     )
+
+
+def _hop_local_inputs(
+    cfg: SpectralConfig,
+    spec_in: jnp.ndarray,    # [C, bands] complex64 — analysis at the frame
+    spec_prev: jnp.ndarray,  # [C, bands] complex64 — one interval back
+    seed: jnp.ndarray,       # [] uint32 — this hop's MINSTD seed
+    time_factor, mult, limit,
+    fgain: jnp.ndarray | None = None,  # [bands] step-5 gain (or None)
+):
+    """The hop-LOCAL part of steps 3-7 of :func:`_chain_inputs`: everything
+    that does not depend on the carried spectra.  Identical math/op-order to
+    `_chain_inputs` (the hop-exact pinned path) — only the two
+    state-coupled products (``timepred`` and the ``u12`` selections) are
+    deferred to the light sequential pass, their state-free factors
+    returned here (``tw``, ``k1``, ``k2``).  This is what lets a serving
+    chunk precompute ALL hops' smoothers/peak-maps/gathers in one batched
+    pass (vmap over hops x streams) instead of once per scan iteration.
+
+    Split into :func:`_hop_pre_gather` (positions) + row gathers +
+    :func:`_hop_post_gather` (operand assembly) so the serving path can
+    swap the gathers for the one-hot block-matmul form
+    (``ops.blockgather``) without duplicating any surrounding math."""
+    spec_prev_rot, energy_c, input_bin, grad, pos5 = _hop_pre_gather(
+        cfg, spec_in, spec_prev, seed, time_factor, mult, limit, fgain
+    )
+    five = _get_fractional(spec_in, pos5)             # [C, 5B]
+    pe_raw = _get_fractional(energy_c, input_bin)
+    prev_interp = _get_fractional(spec_prev_rot, input_bin)
+    return _hop_post_gather(cfg, five, pe_raw, prev_interp, grad)
+
+
+def _hop_inputs_hoisted(
+    cfg: SpectralConfig,
+    cur: jnp.ndarray,          # [H, S, C, bands] complex64
+    prev: jnp.ndarray,         # [H, S, C, bands] complex64
+    seeds: jnp.ndarray,        # [H, S] uint32
+    time_factor, mult, limit,  # [S]
+    fgain=None,                # [H, S, bands] or None
+):
+    """All hops' chain inputs with the row gathers hoisted out of the vmap
+    into one-hot block matmuls (``ops.blockgather.block_gather``, bit-exact
+    vs `_get_fractional` — 0/1 weights copy f32 values under HIGHEST
+    precision).  XLA's per-row gather was the dominant fidelity serving
+    stage (19.1 ms/hop at S=64 on the v5e vs 6.2 ms/hop for the block-
+    matmul form, benchmarks/profile_chain_inputs.py); positions are NOT
+    monotone in the kiosk MINSTD regime so the fast engine's banded
+    interpolation does not apply."""
+    from bauklank_tpu.ops.blockgather import block_gather
+
+    h, s_n, c_n, b_n = cur.shape
+    t_blk = next((t for t in (64, 32, 16, 8) if b_n % t == 0), None)
+    if t_blk is None:
+        # odd band grid: keep the row-gather form under vmap
+        if fgain is None:
+            f = jax.vmap(
+                jax.vmap(
+                    lambda si, sp, sd, t, m, l: _hop_local_inputs(
+                        cfg, si, sp, sd, t, m, l
+                    )
+                ),
+                in_axes=(0, 0, 0, None, None, None),
+            )
+            return f(cur, prev, seeds, time_factor, mult, limit)
+        f = jax.vmap(
+            jax.vmap(
+                lambda si, sp, sd, t, m, l, g: _hop_local_inputs(
+                    cfg, si, sp, sd, t, m, l, g
+                )
+            ),
+            in_axes=(0, 0, 0, None, None, None, 0),
+        )
+        return f(cur, prev, seeds, time_factor, mult, limit, fgain)
+
+    if fgain is None:
+        pre = jax.vmap(
+            jax.vmap(
+                lambda si, sp, sd, t, m, l: _hop_pre_gather(
+                    cfg, si, sp, sd, t, m, l
+                )
+            ),
+            in_axes=(0, 0, 0, None, None, None),
+        )
+        spec_prev_rot, energy_c, input_bin, grad, pos5 = pre(
+            cur, prev, seeds, time_factor, mult, limit
+        )
+    else:
+        pre = jax.vmap(
+            jax.vmap(
+                lambda si, sp, sd, t, m, l, g: _hop_pre_gather(
+                    cfg, si, sp, sd, t, m, l, g
+                )
+            ),
+            in_axes=(0, 0, 0, None, None, None, 0),
+        )
+        spec_prev_rot, energy_c, input_bin, grad, pos5 = pre(
+            cur, prev, seeds, time_factor, mult, limit, fgain
+        )
+
+    n = h * s_n
+
+    def planes_of(z):  # [N, C, B] complex -> [N, B, 2C] (re/im interleaved)
+        p = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)   # [N, C, B, 2]
+        return jnp.moveaxis(p, 1, 2).reshape(n, b_n, 2 * c_n)
+
+    def complex_of(p, k):  # [N, K, 2C] -> [H, S, C, K]
+        q = p.reshape(n, k, c_n, 2)
+        z = jax.lax.complex(q[..., 0], q[..., 1])            # [N, K, C]
+        return jnp.moveaxis(z, -1, 1).reshape(h, s_n, c_n, k)
+
+    # 1: spec_in planes at the concatenated five-family table
+    five_p = block_gather(
+        planes_of(cur.reshape(n, c_n, b_n)), pos5.reshape(n, 5 * b_n), t=t_blk
+    )
+    five = complex_of(five_p, 5 * b_n)                       # [H, S, C, 5B]
+
+    # 2: rotated-prev planes + channel energies, one call at input_bin
+    comb = jnp.concatenate(
+        [
+            planes_of(spec_prev_rot.reshape(n, c_n, b_n)),
+            jnp.moveaxis(energy_c.reshape(n, c_n, b_n), 1, 2),
+        ],
+        axis=-1,
+    )                                                        # [N, B, 3C]
+    g1 = block_gather(comb, input_bin.reshape(n, b_n), t=t_blk)
+    prev_interp = complex_of(g1[..., : 2 * c_n], b_n)        # [H, S, C, B]
+    pe_raw = jnp.moveaxis(g1[..., 2 * c_n:], -1, 1).reshape(
+        h, s_n, c_n, b_n
+    )
+
+    post = jax.vmap(
+        jax.vmap(
+            lambda f5, pe, pv, gr: _hop_post_gather(cfg, f5, pe, pv, gr)
+        )
+    )
+    return post(five, pe_raw, prev_interp, grad)
 
 
 def chain_inputs_hops(
@@ -810,26 +954,7 @@ def chain_inputs_hops(
         )(env_e, width, active, mult, limit,
           formant_factor, formant_compensation)                   # [H, S, B]
 
-    if fgain is None:
-        f = jax.vmap(
-            jax.vmap(
-                lambda si, sp, sd, t, m, l: _hop_local_inputs(
-                    cfg, si, sp, sd, t, m, l
-                )
-            ),
-            in_axes=(0, 0, 0, None, None, None),
-        )
-        xs = f(cur, prev, seeds, time_factor, mult, limit)
-    else:
-        f = jax.vmap(
-            jax.vmap(
-                lambda si, sp, sd, t, m, l, g: _hop_local_inputs(
-                    cfg, si, sp, sd, t, m, l, g
-                )
-            ),
-            in_axes=(0, 0, 0, None, None, None, 0),
-        )
-        xs = f(cur, prev, seeds, time_factor, mult, limit, fgain)
+    xs = _hop_inputs_hoisted(cfg, cur, prev, seeds, time_factor, mult, limit, fgain)
 
     # stale prediction denominators: hop h sees max(pe_h, pe_{h-1}) + EPS
     # (kept real here; the sequential pass casts to complex64 on device,
