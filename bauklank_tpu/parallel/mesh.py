@@ -25,7 +25,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bauklank_tpu.engine.batched import batched_process_chunk
 
-__all__ = ["stream_mesh", "shard_streams", "sharded_step"]
+__all__ = [
+    "stream_mesh", "shard_streams", "sharded_step", "sharded_fidelity_step",
+]
 
 
 def stream_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -59,5 +61,41 @@ def sharded_step(config, mesh: Mesh):
     )
     def step(states, audios, frame_ends, params):
         return fn(states, audios, frame_ends, params)
+
+    return step
+
+
+def sharded_fidelity_step(scfg, mesh: Mesh, formants: bool = False):
+    """Compile the blob-exact fidelity pool step
+    (:func:`bauklank_tpu.engine.fidelity.batched_fidelity_chunk`) with
+    stream sharding over ``mesh``.
+
+    Streams are pure data parallelism — zero collectives: every per-hop
+    stage (MDFT analysis, chain-input precompute, the sequential band
+    chain, synthesis OLA) is independent per stream, so hops of one stream
+    stay on one device and the mesh spreads streams.  The hop axis inside
+    the chunk is a lax.scan carried per shard (the band chain is
+    order-dependent, reference processSpectrum
+    app/SignalsmithStretch.mjs:826-954 — not shardable across hops).
+
+    Returns ``step(states, audios, ends, tf, mult, limit, active, *fmt)``
+    with every argument/result sharded on its leading stream axis and
+    states donated.
+    """
+    from bauklank_tpu.engine.fidelity import batched_fidelity_chunk
+
+    s = NamedSharding(mesh, P("stream"))
+    n_pos = 7 + (3 if formants else 0)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(s,) * n_pos,
+        out_shardings=(s, s),
+        donate_argnums=(0,),
+    )
+    def step(states, audios, ends, tf, mult, limit, active, *fmt):
+        return batched_fidelity_chunk(
+            scfg, states, audios, ends, tf, mult, limit, active, *fmt
+        )
 
     return step

@@ -114,3 +114,72 @@ def test_fidelity_stream_sharded_matches_unsharded():
     )(put(states2), put(audios), put(ends), put(tf), put(mult), put(lim), put(active))
     assert len(out_sh.sharding.device_set) >= 1
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_sh), atol=2e-4)
+
+
+def test_sharded_fidelity_step_matches_unsharded():
+    """`parallel.mesh.sharded_fidelity_step` (explicit NamedSharding
+    in/out + donated states, the serving-fleet compile path and dryrun
+    stage 3) matches the unsharded chunk, formants engaged, across two
+    donated steps."""
+    from bauklank_tpu.engine.fidelity import (
+        SpectralConfig, batched_fidelity_chunk, hop_frame_ends,
+        init_batched_fidelity_state,
+    )
+    from bauklank_tpu.parallel import shard_streams, stream_mesh
+    from bauklank_tpu.parallel.mesh import sharded_fidelity_step
+
+    cfg = SpectralConfig(2, 512, 128, formants=True)
+    s_n, h_n = 16, 3
+    rng = np.random.default_rng(5)
+    t = np.arange(9000) / SR
+    audios = jnp.asarray(
+        np.stack([
+            np.stack([
+                0.3 * np.sin(2 * np.pi * (220 + 5 * k + 3 * c) * t)
+                for c in range(2)
+            ])
+            for k in range(s_n)
+        ]).astype(np.float32)
+        + 0.02 * rng.standard_normal((s_n, 2, 9000)).astype(np.float32)
+    )
+    rates = np.linspace(0.25, 2.0, s_n)  # includes the MINSTD regime
+    ends = jnp.asarray(
+        np.stack([
+            hop_frame_ends(cfg, h_n, r, SR, input_offset=600.0 / SR)
+            for r in rates
+        ]),
+        jnp.int32,
+    )
+    mult = np.exp2(np.linspace(-12, 12, s_n) / 12.0).astype(np.float32)
+    args = (
+        jnp.asarray((1.0 / rates).astype(np.float32)),
+        jnp.asarray(mult),
+        jnp.asarray(((8000.0 / SR) / np.sqrt(mult)).astype(np.float32)),
+        jnp.ones((s_n,), jnp.float32),
+        jnp.asarray(np.exp2(np.linspace(-5, 5, s_n) / 12.0), jnp.float32),
+        jnp.asarray((np.arange(s_n) % 2).astype(np.float32)),
+        jnp.zeros((s_n,), jnp.float32),  # auto f0
+    )
+
+    st_ref, out_ref = batched_fidelity_chunk(
+        cfg, init_batched_fidelity_state(cfg, s_n), audios, ends, *args
+    )
+
+    mesh = stream_mesh(8)
+    step = sharded_fidelity_step(cfg, mesh, formants=True)
+    sh_args = shard_streams(
+        mesh, (init_batched_fidelity_state(cfg, s_n), audios, ends) + args
+    )
+    st_sh, out_sh = step(*sh_args)
+    assert len(out_sh.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_sh), atol=2e-4)
+
+    # second step with the donated state stays consistent with unsharded
+    ends2 = shard_streams(mesh, jnp.asarray(np.asarray(ends) + cfg.interval))
+    st_ref2, out_ref2 = batched_fidelity_chunk(
+        cfg, st_ref, audios, jnp.asarray(np.asarray(ends) + cfg.interval), *args
+    )
+    _, out_sh2 = step(st_sh, sh_args[1], ends2, *sh_args[3:])
+    np.testing.assert_allclose(
+        np.asarray(out_ref2), np.asarray(out_sh2), atol=2e-4
+    )
