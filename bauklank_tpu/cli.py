@@ -69,6 +69,8 @@ def _cmd_serve(args) -> int:
         "--run-log-level", args.run_log_level,
         "--serial-log", args.serial_log,
         "--pool-capacity", str(args.pool_capacity),
+        "--pool", args.pool,
+        "--engine", args.engine,
     ]
     for port in args.serial_exclude:
         argv += ["--serial-exclude", port]
@@ -85,21 +87,7 @@ def _cmd_topology_header(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
-    # Honor JAX_PLATFORMS even when the interpreter pre-imported jax before
-    # this process saw the variable (sitecustomize environments capture the
-    # config at import time).
-    import os
-
-    platforms = os.environ.get("JAX_PLATFORMS")
-    if platforms:
-        import jax
-
-        try:
-            jax.config.update("jax_platforms", platforms)
-        except RuntimeError:
-            pass  # backend already initialized
-
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="bauklank", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -130,12 +118,31 @@ def main(argv=None) -> int:
     sv.add_argument("--serial-exclude", action="append", default=[])
     sv.add_argument("--no-serial-scan", action="store_true")
     sv.add_argument("--pool-capacity", type=int, default=0)
+    sv.add_argument("--pool", default="stream", choices=("stream", "unified"))
+    sv.add_argument("--engine", default="fast", choices=("fast", "fidelity"))
     sv.set_defaults(fn=_cmd_serve)
 
     th = sub.add_parser("topology-header", help="emit the encoder-firmware C header")
     th.set_defaults(fn=_cmd_topology_header)
+    return ap
 
-    args = ap.parse_args(argv)
+
+def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS even when the interpreter pre-imported jax before
+    # this process saw the variable (sitecustomize environments capture the
+    # config at import time).
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except RuntimeError:
+            pass  # backend already initialized
+
+    args = build_parser().parse_args(argv)
     return args.fn(args)
 
 

@@ -80,8 +80,15 @@ def block_gather(
         ).astype(jnp.float32) * w1_c[..., None]        # [c, K, 2t]
         return jnp.sum(rows * mm[..., None], axis=2)   # [c, K, P]
 
-    if n % chunk == 0 and n > chunk:
-        shape = (n // chunk, chunk)
+    if n > chunk:
+        # pad N up to a chunk multiple (zero rows, zero weights): chunking
+        # must never silently disable — the full one-hot/tap transients for
+        # all N at once are the documented multi-GB OOM hazard (ADVICE r3)
+        pad_n = (-n) % chunk
+        def padn(x):
+            return jnp.pad(x, ((0, pad_n),) + ((0, 0),) * (x.ndim - 1))
+        blk, off, w0, w1, arr_over = map(padn, (blk, off, w0, w1, arr_over))
+        shape = ((n + pad_n) // chunk, chunk)
         out = jax.lax.map(
             one_chunk,
             (
@@ -92,7 +99,7 @@ def block_gather(
                 arr_over.reshape(shape + (nblk, 2 * t * p)),
             ),
         )
-        return out.reshape(n, k, p)
+        return out.reshape(n + pad_n, k, p)[:n]
     return one_chunk((blk, off, w0, w1, arr_over))
 
 

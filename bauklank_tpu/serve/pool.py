@@ -321,6 +321,13 @@ class StreamPool:
             return True
         if key not in _TIMEMAP_KEYS:
             return False
+        if key == "input" and s.track_len > 0:
+            # the reference slider handler clamps the seek to
+            # [0, audioDuration] (app/multi/app.mjs:736); un-clamped WS
+            # seeks would schedule out-of-range frame ends.  Only when a
+            # track is loaded: trackless slots (tests, live voices) keep
+            # the raw value — there is no duration to clamp against.
+            value = float(np.clip(value, 0.0, s.track_len / self.sample_rate))
         if key in self.clamps or (key == "tone"):
             lo, hi = self.clamps.get("semitones" if key == "tone" else key, (None, None))
             if lo is not None:

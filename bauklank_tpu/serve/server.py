@@ -144,6 +144,10 @@ class ControlServer:
         # the role the reference's render-thread message queue plays
         # (app/SignalsmithStretch.mjs:746-777)
         self._pool_lock = threading.Lock()
+        # last analysis per slot: the sync HTTP path serves from this when
+        # the lock is held (a fidelity-mode step can hold it for tens of ms
+        # and process_request runs ON the event loop — ADVICE r3)
+        self._analysis_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------ transport
     def add_transport(self, t: Transport) -> None:
@@ -165,7 +169,23 @@ class ControlServer:
         if self.pool is None:
             return None
         with self._pool_lock:
-            return self.pool.analyze(slot)
+            result = self.pool.analyze(slot)
+        if result is not None:
+            self._analysis_cache[slot] = result
+        return result
+
+    def _locked_time_status(self) -> list[tuple[str, float]]:
+        """(slot, input_time) for every actively-playing voice, read under
+        the pool lock: ``input_time_at`` advances the TimeMap (segment pops,
+        loop wraps) on the same objects the stepping thread mutates, so
+        lock-free reads could double-apply a loop wrap or drop a scheduled
+        segment (ADVICE r3 high)."""
+        with self._pool_lock:
+            return [
+                (slot, self.pool.input_time(slot))
+                for slot in self.engine_slots
+                if getattr(self.pool, "is_playing", lambda s: False)(slot)
+            ]
 
     # ------------------------------------------------------------ broadcast
     async def broadcast(self, msg: dict) -> None:
@@ -453,12 +473,8 @@ class ControlServer:
         if self.pool is None or self.time_push_sec <= 0:
             return
         while not self._stop.is_set():
-            for slot in self.engine_slots:
-                playing = getattr(self.pool, "is_playing", lambda s: False)(slot)
-                if playing:
-                    await self.broadcast(
-                        protocol.time_msg(slot, self.pool.input_time(slot))
-                    )
+            for slot, t_in in await asyncio.to_thread(self._locked_time_status):
+                await self.broadcast(protocol.time_msg(slot, t_in))
             await asyncio.sleep(self.time_push_sec)
 
     async def heartbeat_task(self) -> None:
@@ -501,7 +517,23 @@ class ControlServer:
             return None  # proceed with the WS handshake
         if request.path.startswith("/status?analyze="):
             slot = request.path.split("=", 1)[1]
-            result = self._locked_analyze(slot)
+            # process_request is synchronous and runs on the event loop:
+            # never WAIT for the pool lock here (a fidelity step holds it
+            # for tens of ms).  Fresh result if the lock is free, else the
+            # cached last analysis, else 503.
+            if self.pool is not None and self._pool_lock.acquire(blocking=False):
+                try:
+                    result = self.pool.analyze(slot)
+                finally:
+                    self._pool_lock.release()
+                if result is not None:
+                    self._analysis_cache[slot] = result
+            else:
+                result = self._analysis_cache.get(slot)
+                if result is None:
+                    return connection.respond(
+                        http.HTTPStatus.SERVICE_UNAVAILABLE, "pool busy\n"
+                    )
             body = json.dumps(result or {"slot": slot, "error": "unavailable"})
             return connection.respond(http.HTTPStatus.OK, body + "\n")
         if request.path == "/status":
@@ -511,6 +543,7 @@ class ControlServer:
                     "machine": protocol.machine_status_msg(),
                     "controller": self.controller_status(),
                     "clients": len(self.clients),
+                    "engine": getattr(self.pool, "engine", None),
                     "pool": self.pool.metrics() if self.pool is not None else None,
                 }
             )
@@ -546,8 +579,13 @@ class ControlServer:
         self._stop.set()
 
 
-def _parse_args(argv=None):
-    """CLI mirrors the reference flags (server-multi.py:101-148)."""
+def build_parser() -> argparse.ArgumentParser:
+    """CLI mirrors the reference flags (server-multi.py:101-148).
+
+    Exposed (rather than inlined in ``_parse_args``) so tests can assert
+    the outer ``bauklank_tpu.cli`` serve subparser accepts the same flag
+    set — the inner/outer parser divergence bug class (commit a51c8a0,
+    VERDICT r3 weak #6)."""
     ap = argparse.ArgumentParser(description="bauklank_tpu control-plane server")
     ap.add_argument("--engine-count", type=int, default=1, choices=(1, 2))
     ap.add_argument("--slot", default="A", choices=("A", "B"))
@@ -566,7 +604,15 @@ def _parse_args(argv=None):
                     help="stream = one shared engine config; unified = "
                          "per-voice config buckets + live-input voices "
                          "(set blockMs/overlap takes effect per voice)")
-    return ap.parse_args(argv)
+    ap.add_argument("--engine", default="fast", choices=("fast", "fidelity"),
+                    help="fast = hop-parallel TPU-first core (engine.core); "
+                         "fidelity = blob-exact reference algorithm "
+                         "(engine.spectral, >=40 dB vs the reference blob)")
+    return ap
+
+
+def _parse_args(argv=None):
+    return build_parser().parse_args(argv)
 
 
 def main(argv=None) -> None:
@@ -581,9 +627,11 @@ def main(argv=None) -> None:
             # pipelined bucket fetches: identical sample stream, transport
             # round trip hidden behind subsequent dispatches
             pool = UnifiedPool(names=slots[: args.pool_capacity],
-                               pipeline_fetch=True)
+                               pipeline_fetch=True, engine=args.engine)
         else:
-            pool = StreamPool(capacity=args.pool_capacity, names=slots[: args.pool_capacity])
+            pool = StreamPool(capacity=args.pool_capacity,
+                              names=slots[: args.pool_capacity],
+                              engine=args.engine)
     server = ControlServer(pool=pool, engine_slots=slots,
                            ws_host=args.ws_host, ws_port=args.ws_port,
                            serial_log=args.serial_log,

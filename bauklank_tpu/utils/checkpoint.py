@@ -233,6 +233,15 @@ def load_unified(path: str | pathlib.Path, pool) -> None:
             raise ValueError(
                 f"member mapping diverged: {b.members} vs {bm['members']}"
             )
+        if int(bm["capacity"]) < b.pool.capacity:
+            # grow() is a no-op when the fresh pool is already larger: the
+            # restored state leaves would then carry a smaller leading dim
+            # than _audio_host/slots and crash on the next step (ADVICE r3)
+            raise ValueError(
+                f"bucket {key} capacity mismatch: checkpoint has "
+                f"{bm['capacity']}, fresh pool already {b.pool.capacity} "
+                f"(construct the pool with bucket_capacity <= the saved one)"
+            )
         b.pool.grow(int(bm["capacity"]))
         prefix = f"b{bi}/state"
         import jax

@@ -64,6 +64,79 @@ def test_snr_vs_reference_wasm(golden, name, rate, semitones, channels, extras):
     assert snr > 40.0, f"{name}: {snr:.1f} dB"
 
 
+@pytest.mark.parametrize("name,rate,semitones,channels,extras", [
+    c for c in material.CASES
+    if c[0] in ("r025_st0", "stereo_r07_stp5_f4_comp")
+])
+def test_serving_path_snr_vs_reference_wasm(golden, name, rate, semitones,
+                                            channels, extras):
+    """>=40 dB for the SERVING form: the same golden cases rendered through
+    `batched_fidelity_chunk` (the hop-parallel pool path) chunk-by-chunk
+    with carried state — not the offline `_render_jit` scan the other
+    golden tests drive.  VERDICT r3 item 2a: previously the serving form
+    was only pinned to the scan form per-chunk at 2e-4, so nothing
+    asserted it stays >=40 dB vs the blob over a full 2 s render.  One
+    MINSTD case (rate 0.25, vertical-step draws carried in state across
+    chunks) and one formant+compensation stereo case."""
+    import jax
+    import jax.numpy as jnp
+
+    from bauklank_tpu.engine.fidelity import (
+        batched_fidelity_chunk, hop_frame_ends,
+    )
+    from bauklank_tpu.engine.spectral import SpectralConfig, init_spectral_state
+
+    sr = material.SR
+    block = round(material.BLOCK_MS / 1000 * sr)
+    interval = round(material.INTERVAL_MS / 1000 * sr)
+    ex = material.renderer_extras(extras)
+    use_formants = bool(ex.get("formant_semitones") or ex.get("formant_compensation"))
+    cfg = SpectralConfig(channels=channels, block=block, interval=interval,
+                         formants=use_formants)
+    n_out = int(material.SECONDS * sr)
+    hop_chunk = 8
+    n_hops = -(-n_out // interval)
+    n_hops = -(-n_hops // hop_chunk) * hop_chunk          # pad to whole chunks
+    ends = hop_frame_ends(cfg, n_hops, rate, sr)
+
+    key = name + "__seed"
+    seed = int(golden[key]) if key in golden.files else 1
+    one = lambda x: jnp.broadcast_to(jnp.asarray(x), (1,) + jnp.asarray(x).shape).copy()
+    state = jax.tree.map(one, (
+        init_spectral_state(cfg, seed=seed),
+        jnp.zeros((channels, block + interval), jnp.float32),
+    ))
+    x = material.case_input(rate, channels)
+    audios = jnp.asarray(x)[None]
+    mult = float(np.exp2(semitones / 12.0))
+    tf = jnp.asarray([1.0 / rate], jnp.float32)
+    mult_a = jnp.asarray([mult], jnp.float32)
+    limit = jnp.asarray([(material.TONALITY_HZ / sr) / np.sqrt(mult)], jnp.float32)
+    active = jnp.ones((1,), jnp.float32)
+    kw = {}
+    if use_formants:
+        kw = dict(
+            formant_factor=jnp.asarray(
+                [np.exp2(ex.get("formant_semitones", 0.0) / 12.0)], jnp.float32),
+            formant_compensation=jnp.asarray(
+                [1.0 if ex.get("formant_compensation") else 0.0], jnp.float32),
+            formant_base=jnp.asarray(
+                [ex.get("formant_base_hz", 0.0) / sr], jnp.float32),
+        )
+
+    emitted = []
+    for c in range(n_hops // hop_chunk):
+        e = jnp.asarray(ends[c * hop_chunk:(c + 1) * hop_chunk])[None]
+        state, emit = batched_fidelity_chunk(
+            cfg, state, audios, e, tf, mult_a, limit, active, **kw)
+        emitted.append(np.asarray(emit[0]))
+    got = np.concatenate(emitted, axis=-1)[..., :n_out]
+
+    end = int(extras.get("_compare_sec", material.SECONDS) * material.SR)
+    snr = material.snr_db(golden[name][..., :end], got[..., :end], SKIP)
+    assert snr > 40.0, f"{name} (serving path): {snr:.1f} dB"
+
+
 @pytest.mark.skipif(not harness.available(), reason="no WASM execution path (gcc)")
 def test_fixtures_match_live_blob(golden):
     """Fixture freshness: a live blob render must equal the committed one."""

@@ -327,6 +327,8 @@ def test_http_status_surface():
             assert payload["server"]["type"] == "serverVersion"
             assert payload["controller"]["connected"] is False
             assert payload["pool"] is not None
+            # active engine surfaced for operators (VERDICT r3 item 3)
+            assert payload["engine"] == "fast"
 
             page = await asyncio.to_thread(get, "/")
             body = page.read().decode()
