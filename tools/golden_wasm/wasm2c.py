@@ -244,7 +244,42 @@ static inline void *mptr(uint64_t ea, uint32_t n) {
     return MEM + ea;
 }
 #define LD(ty, ea) ({ ty _v; memcpy(&_v, mptr((ea), sizeof(ty)), sizeof(ty)); _v; })
-#define ST(ty, ea, v) do { ty _v = (v); memcpy(mptr((ea), sizeof(ty)), &_v, sizeof(ty)); } while (0)
+
+/* Store watchpoints: when wasm_store_hook is set, every store whose
+   effective address falls in [wasm_watch_lo, wasm_watch_hi) reports
+   (ea, size, raw bits) BEFORE the write lands.  Used to read memory-
+   placement laws (e.g. the splitComputation=false ring layout) directly
+   off an execution trace instead of hypothesis-testing them.  Zero
+   overhead when unset (one predictable branch). */
+typedef void (*wasm_store_cb)(uint64_t ea, uint32_t size, uint64_t bits);
+WEXPORT wasm_store_cb wasm_store_hook = 0;
+WEXPORT uint64_t wasm_watch_lo = 0;
+WEXPORT uint64_t wasm_watch_hi = 0;
+
+#define ST(ty, ea, v) do { ty _v = (v); uint64_t _ea = (uint64_t)(ea); \
+    if (__builtin_expect(wasm_store_hook != 0, 0) \
+        && _ea >= wasm_watch_lo && _ea < wasm_watch_hi) { \
+        uint64_t _bits = 0; memcpy(&_bits, &_v, sizeof(ty)); \
+        wasm_store_hook(_ea, (uint32_t)sizeof(ty), _bits); } \
+    memcpy(mptr(_ea, sizeof(ty)), &_v, sizeof(ty)); } while (0)
+
+/* Bulk-op watchpoints: memory.copy / memory.fill bypass ST, so they get
+   their own hook (dst, src, n, is_fill) when the destination range
+   intersects the watch window (src = fill byte for fills). */
+typedef void (*wasm_bulk_cb)(uint64_t dst, uint64_t src, uint64_t n, int32_t is_fill);
+WEXPORT wasm_bulk_cb wasm_bulk_hook = 0;
+static inline void w2c_memcopy(uint64_t dst, uint64_t src, uint64_t n) {
+    if (__builtin_expect(wasm_bulk_hook != 0, 0)
+        && dst < wasm_watch_hi && dst + n > wasm_watch_lo)
+        wasm_bulk_hook(dst, src, n, 0);
+    memmove(mptr(dst, n), mptr(src, n), n);
+}
+static inline void w2c_memfill(uint64_t dst, uint32_t val, uint64_t n) {
+    if (__builtin_expect(wasm_bulk_hook != 0, 0)
+        && dst < wasm_watch_hi && dst + n > wasm_watch_lo)
+        wasm_bulk_hook(dst, val, n, 1);
+    memset(mptr(dst, n), (uint8_t)val, n);
+}
 
 static inline uint32_t rotl32(uint32_t x, uint32_t n) { n &= 31; return n ? (x << n) | (x >> (32 - n)) : x; }
 static inline uint32_t rotr32(uint32_t x, uint32_t n) { n &= 31; return n ? (x >> n) | (x << (32 - n)) : x; }
@@ -344,6 +379,9 @@ static uint32_t mem_grow(uint32_t delta) {
 /* ---- Emscripten/WASI import shims (reference glue :454-459) ---- */
 static void imp_abort_js(void) { trap(5); }
 static void imp_memcpy_js(uint32_t dest, uint32_t src, uint32_t num) {
+    if (__builtin_expect(wasm_bulk_hook != 0, 0)
+        && dest < wasm_watch_hi && (uint64_t)dest + num > wasm_watch_lo)
+        wasm_bulk_hook(dest, src, num, 0);
     memmove(mptr(dest, num), mptr(src, num), num);
 }
 static uint32_t imp_resize_heap(uint32_t requested) {
@@ -957,14 +995,14 @@ class FuncEmitter:
             n = self.pop_v()
             src = self.pop_v()
             dst = self.pop_v()
-            self.out(f"memmove(mptr({dst}, {n}), mptr({src}, {n}), {n});")
+            self.out(f"w2c_memcopy((uint64_t){dst}, (uint64_t){src}, (uint64_t){n});")
         elif sub == 11:  # memory.fill
             r.u8()
             self.flush()
             n = self.pop_v()
             val = self.pop_v()
             dst = self.pop_v()
-            self.out(f"memset(mptr({dst}, {n}), (uint8_t){val}, {n});")
+            self.out(f"w2c_memfill((uint64_t){dst}, (uint32_t){val}, (uint64_t){n});")
         else:
             raise NotImplementedError(f"0xFC subopcode {sub}")
 
