@@ -57,6 +57,7 @@ def hop_frame_ends(
     rate: float,
     sample_rate: float,
     input_offset: float = 0.0,
+    split: bool = True,
 ) -> np.ndarray:
     """Per-hop analysis frame ends (exclusive, in track samples).
 
@@ -66,10 +67,14 @@ def hop_frame_ends(
     inLat_sec) * sr), with the quantum clock ACCUMULATED in float64 exactly
     like the worklet restatement (native.py:241-284) — the rounding at
     half-sample boundaries depends on it.
+
+    ``split``: splitComputation mode; it changes outputLatency (split off
+    drops the +interval — reference README-signalsmith.md:26-31) and hence
+    every inputEnd.
     """
     sr = float(sample_rate)
     in_lat = cfg.block // 2
-    out_lat = (cfg.block - cfg.block // 2) + cfg.interval  # split on
+    out_lat = (cfg.block - cfg.block // 2) + (cfg.interval if split else 0)
     in_lat_sec, out_lat_sec = in_lat / sr, out_lat / sr
     n_q = (n_hops * cfg.interval) // QUANTUM + 1
     ie_by_q = np.empty(n_q, np.int64)
@@ -126,11 +131,21 @@ def _scan_hops(cfg, state, cur, prev, time_factor, mult, limit,
     return st_r._replace(prev_output=_cx(st_r.prev_output)), _cx(outs_r)
 
 
-def analyse_frames(cfg: SpectralConfig, audio: jnp.ndarray, ends: jnp.ndarray):
+def analyse_frames(cfg: SpectralConfig, audio: jnp.ndarray, ends: jnp.ndarray,
+                   zero_head: int = 0):
     """Batched blob analyses: frames ENDING at ``ends``, windowed, zero-
     padded to the fft size, half-bin transformed, zero-phase referenced to
-    the frame center.  audio [C, T], ends [H] -> [H, C, bands] complex64."""
+    the frame center.  audio [C, T], ends [H] -> [H, C, bands] complex64.
+
+    ``zero_head``: zero the first ``zero_head`` frame samples before
+    windowing — the splitComputation=false PREV-analysis law (the short
+    split-off seek never refreshes the first interval of the prev window;
+    decoded by store-tracing the blob, tools/golden_wasm/verify_splitoff.py,
+    hop-exact across rate 0.25-2.0 x semitones +/-12)."""
     w, rot = _consts(cfg.block, cfg.interval, cfg.fft)
+    w = np.asarray(w).copy()
+    if zero_head:
+        w[:zero_head] = 0.0
     frames = framing.gather_frames(audio, ends.astype(jnp.int32) - cfg.block, cfg.block)
     windowed = frames * jnp.asarray(w)  # [C, H, block]
     padded = jnp.pad(windowed, ((0, 0), (0, 0), (0, cfg.fft - cfg.block)))
@@ -147,7 +162,7 @@ def synthesise_frames(cfg: SpectralConfig, specs: jnp.ndarray) -> jnp.ndarray:
     return blocks * jnp.asarray(w)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 8))
+@functools.partial(jax.jit, static_argnums=(0, 3, 8, 9))
 def _render_jit(
     cfg: SpectralConfig,
     audio: jnp.ndarray,       # [C, T]
@@ -158,11 +173,19 @@ def _render_jit(
     limit: jnp.ndarray,
     state: SpectralState,
     formants: tuple | None = None,  # static (factor, compensation, base)
+    split: bool = True,
 ):
     h = frame_ends.shape[0]
-    both = jnp.concatenate([frame_ends, frame_ends - cfg.interval])
-    specs = analyse_frames(cfg, audio, both)   # [2H, C, bands]
-    cur, prev = specs[:h], specs[h:]
+    if split:
+        both = jnp.concatenate([frame_ends, frame_ends - cfg.interval])
+        specs = analyse_frames(cfg, audio, both)   # [2H, C, bands]
+        cur, prev = specs[:h], specs[h:]
+    else:
+        # split-off prev law: window ending at inputEnd - interval with
+        # its first `interval` samples zeroed (see analyse_frames)
+        cur = analyse_frames(cfg, audio, frame_ends)
+        prev = analyse_frames(cfg, audio, frame_ends - cfg.interval,
+                              zero_head=cfg.interval)
     kw = {}
     if formants is not None:
         ff, fc, fb = formants
@@ -174,8 +197,12 @@ def _render_jit(
     state, outs = _scan_hops(cfg, state, cur, prev, time_factor, mult, limit, **kw)
     frames = synthesise_frames(cfg, outs)      # [C, H, block]
     ola = framing.overlap_add(frames, cfg.interval, n_out)
-    # measured placement: frame h lands at (h+1)*interval — shift right
-    out = jnp.pad(ola, ((0, 0), (cfg.interval, 0)))[:, :n_out]
+    if split:
+        # measured placement: frame h lands at (h+1)*interval — shift right
+        out = jnp.pad(ola, ((0, 0), (cfg.interval, 0)))[:, :n_out]
+    else:
+        # split off: frame h lands at h*interval (one interval less latency)
+        out = ola[:, :n_out]
     return state, out
 
 
@@ -226,16 +253,39 @@ def fidelity_chunk(
 
 def _ola_emit(cfg: SpectralConfig, frames, tail, active, h: int):
     """Overlap-add + tail carry for one stream: frame ``i`` lands at chunk
-    samples [(i+1)*interval, (i+1)*interval + block) (the measured split-on
-    placement); contributions past the emitted chunk carry in the tail."""
+    samples [(i+1)*interval, (i+1)*interval + block) with split on (the
+    measured placement), [i*interval, i*interval + block) with split off;
+    contributions past the emitted chunk carry in the tail (always
+    block + interval wide, so the state pytree shape is mode-invariant)."""
     interval, block = cfg.interval, cfg.block
-    total = h * interval + interval + block
-    ola = framing.overlap_add(frames, interval, total - interval)
-    ola = jnp.pad(ola, ((0, 0), (interval, 0)))      # frames start at +I
+    ola = framing.overlap_add(frames, interval, h * interval + block)
+    if cfg.split:
+        ola = jnp.pad(ola, ((0, 0), (interval, 0)))  # frames start at +I
+    else:
+        ola = jnp.pad(ola, ((0, 0), (0, interval)))  # keep tail width
     ola = ola.at[:, : block + interval].add(tail)
     emit = ola[:, : h * interval] * active
     new_tail = ola[:, h * interval :]
     return emit, new_tail
+
+
+def _analyse_cur_prev(cfg: SpectralConfig, audios, ends):
+    """Batched cur/prev analyses for a pool chunk ([S, H] ends ->
+    [H, S, C, bands] each), honoring the splitComputation mode: with split
+    on both frame families analyse in ONE batched pass; with split off the
+    prev windows zero their first interval (the decoded split-off law)."""
+    h = ends.shape[1]
+    if cfg.split:
+        both = jnp.concatenate([ends, ends - cfg.interval], axis=1)  # [S, 2H]
+        specs = jax.vmap(lambda au, en: analyse_frames(cfg, au, en))(audios, both)
+        cur = jnp.moveaxis(specs[:, :h], 1, 0)    # [H, S, C, bands]
+        prev = jnp.moveaxis(specs[:, h:], 1, 0)
+        return cur, prev
+    cur = jax.vmap(lambda au, en: analyse_frames(cfg, au, en))(audios, ends)
+    prev = jax.vmap(
+        lambda au, en: analyse_frames(cfg, au, en, zero_head=cfg.interval)
+    )(audios, ends - cfg.interval)
+    return jnp.moveaxis(cur, 1, 0), jnp.moveaxis(prev, 1, 0)
 
 
 def init_fidelity_state(cfg: SpectralConfig):
@@ -284,10 +334,7 @@ def batched_fidelity_chunk(
     spec_states, tails = states
     h = ends.shape[1]
     interval, block = cfg.interval, cfg.block
-    both = jnp.concatenate([ends, ends - interval], axis=1)  # [S, 2H]
-    specs = jax.vmap(lambda au, en: analyse_frames(cfg, au, en))(audios, both)
-    cur = jnp.moveaxis(specs[:, :h], 1, 0)    # [H, S, C, bands]
-    prev = jnp.moveaxis(specs[:, h:], 1, 0)
+    cur, prev = _analyse_cur_prev(cfg, audios, ends)
 
     xs, (rng_final, fv, fw) = chain_inputs_hops(
         cfg, spec_states, cur, prev, tf, mult, limit,
@@ -360,10 +407,7 @@ def batched_fidelity_chunk_scan(
     spec_states, tails = states
     h = ends.shape[1]
     interval, block = cfg.interval, cfg.block
-    both = jnp.concatenate([ends, ends - interval], axis=1)  # [S, 2H]
-    specs = jax.vmap(lambda au, en: analyse_frames(cfg, au, en))(audios, both)
-    cur = jnp.moveaxis(specs[:, :h], 1, 0)    # [H, S, C, bands]
-    prev = jnp.moveaxis(specs[:, h:], 1, 0)
+    cur, prev = _analyse_cur_prev(cfg, audios, ends)
 
     st_r = spec_states._replace(prev_output=_ri(spec_states.prev_output))
 
@@ -407,9 +451,10 @@ def render_fidelity(
     formant_semitones: float = 0.0,
     formant_compensation: bool = False,
     formant_base_hz: float = 0.0,
+    split_computation: bool = True,
 ) -> np.ndarray:
     """Render ``n_out`` frames — same signature/semantics as the golden
-    harness' native.render_reference (split on).  audio [C, T] float32."""
+    harness' native.render_reference.  audio [C, T] float32."""
     sr = float(sample_rate)
     block = round(block_ms / 1000 * sr)
     interval = round(interval_ms / 1000 * sr)
@@ -419,7 +464,7 @@ def render_fidelity(
         formants=use_formants,
     )
     n_hops = -(-n_out // interval)
-    ends = hop_frame_ends(cfg, n_hops, rate, sr)
+    ends = hop_frame_ends(cfg, n_hops, rate, sr, split=split_computation)
     mult = float(np.exp2(semitones / 12.0))
     limit = (tonality_hz / sr) / np.sqrt(mult)
     if state is None:
@@ -441,5 +486,6 @@ def render_fidelity(
         jnp.float32(limit),
         state,
         formants,
+        bool(split_computation),
     )
     return np.asarray(out)

@@ -105,12 +105,19 @@ class SpectralConfig(NamedTuple):
     itself gates the step on "formantFactor != 1, or compensation and
     mapping" (docs/WASM-ALGO.md step 5) — when compiled in, neutral params
     still produce the exact identity gain and frozen EMA trackers.
+
+    split: splitComputation mode (reference _configure ABI,
+    app/SignalsmithStretch.mjs:787-801).  Only the frame drive differs —
+    split-off zeroes the first interval of the prev-analysis window and
+    places frames one interval earlier (decoded by store-tracing,
+    tools/golden_wasm/verify_splitoff.py); the hop math is identical.
     """
 
     channels: int
     block: int
     interval: int
     formants: bool = False
+    split: bool = True
 
     @property
     def fft(self) -> int:

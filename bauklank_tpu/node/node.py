@@ -165,7 +165,8 @@ class StretchNode:
         block, interval = getattr(
             self, "_raw_sizes", (self.config.block, self.config.interval)
         )
-        return SpectralConfig(self.channels, block, interval)
+        return SpectralConfig(self.channels, block, interval,
+                              split=self.config.split_computation)
 
     def reset(self) -> None:
         if self.engine == "fidelity":
@@ -193,9 +194,11 @@ class StretchNode:
     @property
     def output_latency(self) -> int:
         if self.engine == "fidelity":
-            # split-on semantics: block/2 + interval (docs/WASM-ALGO.md)
+            # block/2 + interval with split on; split off drops the
+            # +interval (reference README-signalsmith.md:26-31)
             b = self.block_samples
-            return (b - b // 2) + self.interval_samples
+            extra = self.interval_samples if self.config.split_computation else 0
+            return (b - b // 2) + extra
         return self.config.output_latency
 
     def latency(self) -> float:

@@ -169,7 +169,8 @@ class StreamPool:
 
             block = (round(sample_rate * 0.12) if config is None else config.block)
             interval = (round(sample_rate * 0.03) if config is None else config.interval)
-            self.scfg = SpectralConfig(channels, block, interval)
+            self.scfg = SpectralConfig(channels, block, interval,
+                                       split=self.config.split_computation)
         self.capacity = capacity
         self.hops_per_step = hops_per_step
         self.max_track = int(max_track_sec * sample_rate)
@@ -283,7 +284,7 @@ class StreamPool:
         """(block, interval, output_latency) for the active engine mode."""
         if self.engine == "fidelity":
             b, i = self.scfg.block, self.scfg.interval
-            return b, i, (b - b // 2) + i
+            return b, i, (b - b // 2) + (i if self.scfg.split else 0)
         c = self.config
         return c.block, c.interval, c.output_latency
 

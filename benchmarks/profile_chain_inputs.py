@@ -98,6 +98,17 @@ def main():
 
     timeit("find_peaks_map (scatters)", peaks, energy, sm, mult, limit)
 
+    from bauklank_tpu.engine.spectral import _find_peaks_map_batched
+
+    t_blk = next((t for t in (64, 32, 16, 8) if b_n % t == 0), 64)
+
+    @jax.jit
+    def peaks_batched(e, smv, m, l):
+        return _find_peaks_map_batched(e, smv, m, l, b_n, fft, t_blk)
+
+    timeit("find_peaks_map_batched (blockgather)", peaks_batched,
+           energy, sm, mult, limit)
+
     @jax.jit
     def minstd(sd, tf):
         return jax.vmap(lambda a, b: _minstd_steps(a, b, b_n))(sd, tf)

@@ -387,3 +387,32 @@ def test_hoisted_chain_inputs_bit_exact_vs_hop_local(formants):
         np.testing.assert_array_equal(
             np.asarray(hoisted[key]), np.asarray(local[key]),
             err_msg=f"operand {key} diverged (must be maxdiff==0)")
+
+
+def test_node_fidelity_splitoff_matches_offline():
+    """StretchNode(engine='fidelity', splitComputation=False) streaming ==
+    render_fidelity(split_computation=False) offline: the decoded split-off
+    drive (zero-headed prev windows, one interval less latency) must flow
+    through the chunked serving path identically."""
+    from bauklank_tpu.node import StretchNode
+
+    sr = 44100.0
+    t = np.arange(int(1.5 * sr)) / sr
+    x = (0.3 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    rate, semitones = 0.8, 4.0
+    node = StretchNode(sample_rate=sr, channels=1, engine="fidelity")
+    node.configure(blockMs=512 / 44.1, intervalMs=128 / 44.1,
+                   splitComputation=False)
+    assert node.output_latency == 256  # no +interval with split off
+    node.add_buffers([x])
+    node.start(when=0.0, offset=0.0, rate=rate, semitones=semitones)
+    n_out = 128 * 48
+    got = node.process_output(n_out)
+
+    ref = render_fidelity(
+        x[None], sr, n_out, rate=rate, semitones=semitones,
+        block_ms=512 / 44.1, interval_ms=128 / 44.1,
+        split_computation=False,
+    )
+    assert np.abs(got - ref).max() < 1e-4, np.abs(got - ref).max()

@@ -26,6 +26,8 @@ def main() -> None:
     for name, rate, semitones, channels, extras in material.CASES:
         x = material.case_input(rate, channels)
         seeds: list = []
+        kw = dict(split_computation=True)
+        kw.update(material.renderer_extras(extras))
         ref = native.render_reference(
             x,
             material.SR,
@@ -35,9 +37,8 @@ def main() -> None:
             tonality_hz=material.TONALITY_HZ,
             block_ms=material.BLOCK_MS,
             interval_ms=material.INTERVAL_MS,
-            split_computation=True,
             seed_out=seeds,
-            **material.renderer_extras(extras),
+            **kw,
         )
         arrays[name] = ref.astype(np.float32)
         # MINSTD state at render start: needed to replicate rate < 0.5

@@ -50,6 +50,12 @@ CASES = [
      {"formant_compensation": True, "_compare_sec": 1.0}),
     ("stereo_r07_stp5_f4_comp", 0.7, 5.0, 2,
      {"formant_semitones": 4.0, "formant_compensation": True}),
+    # splitComputation=false: the _configure ABI's second mode (reference
+    # app/SignalsmithStretch.mjs:787-801).  Decoded round 4 by store-tracing
+    # the blob (tools/golden_wasm/verify_splitoff.py): prev analysis window
+    # has its first interval zeroed; frames land one interval earlier.
+    ("r10_stp12_splitoff", 1.0, 12.0, 1, {"split_computation": False}),
+    ("r025_st0_splitoff", 0.25, 0.0, 1, {"split_computation": False}),
 ]
 
 
