@@ -2,8 +2,10 @@
 
 The reference decodes mp3 via the browser's ``decodeAudioData``
 (app/multi/app.mjs:365-395).  Headless equivalents here: WAV through the
-native runtime codec, mp3/anything-else through ffmpeg when present
-(gated — this image has none), with clear errors otherwise.
+native runtime codec, mp3 through the from-spec decoder in
+``bauklank_tpu.runtime.mp3`` (validated >=60 dB vs libmpg123,
+tests/test_mp3.py), anything else through ffmpeg when present (gated —
+this image has none), with clear errors otherwise.
 """
 
 from __future__ import annotations
@@ -34,6 +36,12 @@ def load_audio(path: str | pathlib.Path, sample_rate: int | None = None) -> tupl
     path = pathlib.Path(path)
     if path.suffix.lower() == ".wav":
         planes, sr = wav_read(path)
+    elif path.suffix.lower() == ".mp3":
+        # native from-spec decoder (runtime/mp3.py) — the reference's
+        # default content format (app/multi/app.mjs:10-22)
+        from bauklank_tpu.runtime.mp3 import decode_mp3
+
+        planes, sr = decode_mp3(path.read_bytes())
     else:
         if not ffmpeg_available():
             raise OSError(
