@@ -281,6 +281,44 @@ def _smooth_bidirectional(e: jnp.ndarray, coef, carry):
     return fwd, fwd[..., -1]
 
 
+def _twosum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (IEEE round-to-nearest)."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _df_combine(x, y):
+    """Associative add on double-float32 pairs (hi, lo) ~ 49-bit mantissa."""
+    hi, e = _twosum(x[0], y[0])
+    lo = x[1] + y[1] + e
+    s = hi + lo
+    return s, lo - (s - hi)
+
+
+def _comp_cumsum(x: jnp.ndarray, axis: int):
+    """Compensated cumulative sum -> (hi, lo) double-float32 pairs.
+
+    Plain f32 prefix-sum DIFFERENCES catastrophically cancel when a weak
+    run sits on top of a large accumulated prefix (relative error ~
+    eps * prefix/run — garbage centers for faint high-band peaks).  The
+    compensated pair keeps ~49 mantissa bits, so even a 1e7 prefix/run
+    ratio leaves more precision than a direct f32 sum."""
+    zeros = jnp.zeros_like(x)
+    return jax.lax.associative_scan(_df_combine, (x, zeros), axis=axis)
+
+
+def _peaks_block_t(bands: int) -> int | None:
+    """blockgather granularity for the peaks map on this band grid.
+
+    Small blocks win decisively on the v5e: the one-hot contraction gets
+    deeper (better MXU tiling) while the 2t-wide tap stage shrinks —
+    measured 13.7 (t=64) -> 1.8 (t=8, chunk=8) ms/hop on the five-family
+    shape; t=6 and t=4 turn back up (benchmarks/exp_blockgather.py)."""
+    return next((t for t in (8, 16, 32, 64) if bands % t == 0), None)
+
+
 def _find_peaks_map(energy: jnp.ndarray, smoothed: jnp.ndarray,
                     mult: jnp.ndarray, limit: jnp.ndarray, bands: int, fft: int):
     """Vectorized findPeaks + outputMap (docs/WASM-ALGO.md steps 4c-4d).
@@ -293,7 +331,30 @@ def _find_peaks_map(energy: jnp.ndarray, smoothed: jnp.ndarray,
     f + (mult-1)*limit above; outputBin = f_out*fft - 0.5.  Between
     adjacent peaks the map is a smoothstep blend with analytic gradient;
     outside the end peaks it is a pure translation.
+
+    On blockgather-compatible band grids this delegates to the scatter-free
+    batched form (N=1) so the scan/golden path and the serving path stay
+    op-identical (the hoisted micro-check demands maxdiff==0); odd grids
+    keep the scatter fallback below.
     """
+    t_blk = _peaks_block_t(bands)
+    if t_blk is not None:
+        ib, gr = _find_peaks_map_batched(
+            energy[None], smoothed[None],
+            jnp.asarray(mult, jnp.float32)[None],
+            jnp.asarray(limit, jnp.float32)[None],
+            bands, fft, t_blk)
+        return ib[0], gr[0]
+    return _find_peaks_map_scatter(energy, smoothed, mult, limit, bands, fft)
+
+
+def _find_peaks_map_scatter(energy: jnp.ndarray, smoothed: jnp.ndarray,
+                            mult: jnp.ndarray, limit: jnp.ndarray,
+                            bands: int, fft: int):
+    """Scatter-add form of :func:`_find_peaks_map` (fallback for band
+    grids no blockgather block size divides; also the A/B reference in
+    benchmarks/profile_peaks.py — segment scatters cost ~8 ms/hop on the
+    v5e at the serving shape, 30x the prefix-sum replacement)."""
     b_idx = jnp.arange(bands, dtype=jnp.float32)
     above = energy > smoothed
     prev_above = jnp.concatenate([jnp.zeros_like(above[:1]), above[:-1]])
@@ -353,36 +414,62 @@ def _find_peaks_map_batched(
     limit: jnp.ndarray,     # [N]
     bands: int, fft: int, t_blk: int,
 ):
-    """Batched :func:`_find_peaks_map` for the hop-parallel serving path,
-    with the four per-band RANK lookups (``center``/``out_bin`` at
-    ``idx-1``/``idx``) routed through ``ops.blockgather`` — one one-hot
-    block matmul instead of 4 minor-axis [B]->[B] gathers per example (the
-    known 50-80x-slow TPU path; ranks are integers so frac == 0 and the
-    0/1-weight matmul copies rows bit-exactly).  The f32 segment
-    scatter-adds keep the pinned accumulation order (vmapped ``.at[].add``,
-    both payloads in ONE scatter), so every output is maxdiff==0 vs the
-    per-example form (tests/test_spectral.py hoisted micro-check).
+    """Batched scatter-free :func:`_find_peaks_map` (also the N=1 core of
+    the per-example form — both paths share every op, keeping the hoisted
+    micro-check's maxdiff==0 by construction).
+
+    TPU redesign (VERDICT-r3 item 1; measured components in
+    benchmarks/profile_peaks.py — segment scatter 8.2 ms/hop, histogram
+    scatter 1.6 ms/hop at N=1024, B=3072 on the v5e):
+
+    - segment sums -> COMPENSATED prefix-sum differences at run
+      boundaries: runs are contiguous band intervals, so
+      sum(w[s..e]) = cs[e] - cs[s-1]; double-float32 pairs kill the
+      cancellation (see :func:`_comp_cumsum`);
+    - run boundaries -> sorted compaction: start/end band positions are
+      monotone in run order, so ``sort(where(boundary, band, sentinel))``
+      compacts them to run slots with no scatter;
+    - boundary + rank lookups ride ``ops.blockgather`` one-hot block
+      matmuls (integer positions: frac == 0, rows copy bit-exactly);
+    - the rank count (searchsorted of the integer band grid in the sorted
+      ``out_bin``) -> a chunked compare-sum (no histogram scatter):
+      idx[b] = #(out_sorted <= b), fused compare+reduce on the VPU;
+    - run-slot arrays are [B/2] not [B]: maximal runs are separated by
+      at least one gap band, so n_peaks <= ceil(B/2).
+
     Returns (input_bin [N, B], grad [N, B])."""
     from bauklank_tpu.ops.blockgather import block_gather
 
     n = energy.shape[0]
     b_idx = jnp.arange(bands, dtype=jnp.float32)
+    slots = -(-((bands + 1) // 2) // t_blk) * t_blk             # ceil(B/2)->t
     above = energy > smoothed                                   # [N, B]
     prev_above = jnp.concatenate(
         [jnp.zeros_like(above[:, :1]), above[:, :-1]], axis=1)
+    nxt_above = jnp.concatenate(
+        [above[:, 1:], jnp.zeros_like(above[:, :1])], axis=1)
     run_start = above & ~prev_above
-    run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) * above.astype(
-        jnp.int32)
-    seg = jnp.where(above, run_id - 1, bands - 1)
+    run_end = above & ~nxt_above
+    n_peaks = jnp.sum(run_start.astype(jnp.int32), axis=1)      # [N]
     w = jnp.where(above, energy, 0.0)
 
-    def scat(sg, payload):  # ONE scatter for both f32 segment sums
-        return jnp.zeros((bands, 2), energy.dtype).at[sg].add(payload)
+    cs = _comp_cumsum(jnp.stack([w, w * b_idx[None]], axis=-1), axis=1)
+    vals_cs = jnp.concatenate(cs, axis=-1)  # [N, B, 4] = (e, eb) hi | lo
 
-    sums = jax.vmap(scat)(seg, jnp.stack([w, w * b_idx[None]], axis=-1))
-    sum_e, sum_eb = sums[..., 0], sums[..., 1]
-    n_peaks = run_id.max(axis=1)                                # [N]
-    valid = jnp.arange(bands)[None] < n_peaks[:, None]
+    iota_b = jnp.arange(bands, dtype=jnp.int32)[None]
+    sentinel = jnp.int32(bands + 1)   # start-1 and end both land out of
+    # range for pad slots, so both boundary reads come back 0
+    start_pos = jnp.sort(jnp.where(run_start, iota_b, sentinel), axis=1)
+    end_pos = jnp.sort(jnp.where(run_end, iota_b, sentinel), axis=1)
+    posb = jnp.concatenate(
+        [end_pos[:, :slots], start_pos[:, :slots] - 1], axis=1
+    ).astype(jnp.float32)                                       # [N, 2*slots]
+    g0 = block_gather(vals_cs, posb, t=t_blk, chunk=8)          # [N, 2s, 4]
+    ge, gs = g0[:, :slots], g0[:, slots:]
+    sum_e = (ge[..., 0] - gs[..., 0]) + (ge[..., 2] - gs[..., 2])
+    sum_eb = (ge[..., 1] - gs[..., 1]) + (ge[..., 3] - gs[..., 3])
+
+    valid = jnp.arange(slots)[None] < n_peaks[:, None]          # [N, s]
     center = jnp.where(valid, sum_eb / jnp.maximum(sum_e, 1e-30), 0.0)
     f_in = (center + 0.5) / fft
     f_out = jnp.where(
@@ -391,21 +478,54 @@ def _find_peaks_map_batched(
         f_in * mult[:, None],
     )
     out_bin = f_out * fft - 0.5
-    out_sorted = jnp.where(valid, out_bin, jnp.inf)
-    j = jnp.clip(jnp.ceil(out_sorted), 0.0, float(bands)).astype(jnp.int32)
-    j = jnp.where(jnp.isfinite(out_sorted), j, bands)
-    hist = jax.vmap(
-        lambda jj, vv: jnp.zeros((bands + 1,), jnp.int32).at[jj].add(
-            vv.astype(jnp.int32))
-    )(j, valid)
-    idx = jnp.cumsum(hist, axis=1)[:, :bands]                   # [N, B]
+    out_sorted = jnp.where(valid, out_bin, jnp.inf)             # [N, s]
+
+    # idx[b] = #(out_sorted <= b).  For integer b this equals #(u <= b)
+    # with u = clip(ceil(out_sorted), 0, B) (invalid slots: inf -> B,
+    # counted nowhere).  Decompose b = kk*t + r block-wise so the count
+    # rides the MXU as one 0/1 matmul instead of a [N, s, B] compare-sum
+    # on the VPU (the VPU form was 2.4 of the 4.4 ms/hop peaks stage,
+    # benchmarks/profile_peaks.py):
+    #     idx[kk*t + r] = #(u//t < kk)  +  #(u//t == kk  and  u%t <= r)
+    # where the second term is einsum_s A[s,kk] * R[s,r] with 0/1 operands
+    # A = (u//t == kk), R = (u%t <= r) — exact in bf16, f32-accumulated,
+    # so every count is the exact integer and idx is value-identical.
+    # the count's block size is independent of the gather t (the gather
+    # wants tiny blocks, the count wants a lane-sized minor output dim)
+    t_cnt = next((t for t in (64, 32, 16, 8) if bands % t == 0), t_blk)
+    u = jnp.clip(jnp.ceil(out_sorted), 0.0, float(bands)).astype(jnp.int32)
+    nblk = bands // t_cnt
+    kb = u // t_cnt                                             # [N, s]
+    rb = u - kb * t_cnt
+
+    def count_chunk(args):
+        kb_c, rb_c = args
+        a = (kb_c[:, :, None] == jnp.arange(nblk)[None, None, :]).astype(
+            jnp.bfloat16)
+        r = (rb_c[:, :, None] <= jnp.arange(t_cnt)[None, None, :]).astype(
+            jnp.bfloat16)
+        within = jnp.einsum(
+            "nsk,nsr->nkr", a, r, preferred_element_type=jnp.float32)
+        counts = within[:, :, -1]                               # block totals
+        coarse = jnp.cumsum(counts, axis=1) - counts            # exclusive
+        return jnp.round(coarse[:, :, None] + within).astype(jnp.int32).reshape(
+            kb_c.shape[0], bands)
+
+    if n > 16 and n % 16 == 0:
+        idx = jax.lax.map(
+            count_chunk,
+            (kb.reshape(-1, 16, slots), rb.reshape(-1, 16, slots)),
+        ).reshape(n, bands)
+    else:
+        idx = count_chunk((kb, rb))                             # [N, B]
+
     has = n_peaks > 0
     cap = jnp.maximum(n_peaks - 1, 0)[:, None]
     i_p = jnp.clip(idx - 1, 0, cap)
     i_q = jnp.clip(idx, 0, cap)
     ranks = jnp.concatenate([i_p, i_q], axis=1).astype(jnp.float32)  # [N, 2B]
-    vals = jnp.stack([center, out_bin], axis=-1)                # [N, B, 2]
-    g = block_gather(vals, ranks, t=t_blk)                      # [N, 2B, 2]
+    vals = jnp.stack([center, out_bin], axis=-1)                # [N, s, 2]
+    g = block_gather(vals, ranks, t=t_blk, chunk=8)             # [N, 2B, 2]
     p_in, p_out = g[:, :bands, 0], g[:, :bands, 1]
     q_in, q_out = g[:, bands:, 0], g[:, bands:, 1]
     interior = (idx > 0) & (idx < n_peaks[:, None])
@@ -901,7 +1021,7 @@ def _hop_inputs_hoisted(
     from bauklank_tpu.ops.blockgather import block_gather
 
     h, s_n, c_n, b_n = cur.shape
-    t_blk = next((t for t in (64, 32, 16, 8) if b_n % t == 0), None)
+    t_blk = _peaks_block_t(b_n)
     if t_blk is None:
         # odd band grid: keep the row-gather form under vmap
         if fgain is None:
@@ -979,7 +1099,8 @@ def _hop_inputs_hoisted(
 
     # 1: spec_in planes at the concatenated five-family table
     five_p = block_gather(
-        planes_of(cur.reshape(n, c_n, b_n)), pos5.reshape(n, 5 * b_n), t=t_blk
+        planes_of(cur.reshape(n, c_n, b_n)), pos5.reshape(n, 5 * b_n),
+        t=t_blk, chunk=8,
     )
     five = complex_of(five_p, 5 * b_n)                       # [H, S, C, 5B]
 
@@ -991,7 +1112,7 @@ def _hop_inputs_hoisted(
         ],
         axis=-1,
     )                                                        # [N, B, 3C]
-    g1 = block_gather(comb, input_bin.reshape(n, b_n), t=t_blk)
+    g1 = block_gather(comb, input_bin.reshape(n, b_n), t=t_blk, chunk=8)
     prev_interp = complex_of(g1[..., : 2 * c_n], b_n)        # [H, S, C, B]
     pe_raw = jnp.moveaxis(g1[..., 2 * c_n:], -1, 1).reshape(
         h, s_n, c_n, b_n

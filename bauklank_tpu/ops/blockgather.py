@@ -36,12 +36,24 @@ def block_gather(
     pos: jnp.ndarray,   # [N, K] float32
     t: int = 32,
     chunk: int = 16,
+    mode: str = "highest",
 ) -> jnp.ndarray:
     """Linear interpolation ``arrs[n, pos[n, k], p]`` with zeros outside
     [0, B) — exact `_get_fractional` semantics.  Returns [N, K, P].
 
     ``t``: block granularity (B must divide by t).
     ``chunk``: examples per matmul batch (bounds the one-hot transient).
+    ``mode``: how the stage-1 selection matmul guarantees an exact copy:
+      - ``highest``: f32 einsum at HIGHEST precision (6 bf16 MXU passes);
+      - ``bf16x3``: 3 DEFAULT bf16 passes over an exact 3-way bf16 split
+        of the payload (h1+h2+h3 == x in f32; exact for |x| >= ~2^-100
+        and 0 — the 3rd residual underflows bf16 below that);
+      - ``int8x4``: 4 int8->int32 passes selecting the raw f32 BIT
+        pattern (4 byte planes, reassembled by shifts) — exact for every
+        value including denormals/inf/nan, and the MXU's fastest path.
+    Selection sums have exactly one nonzero term per output row, which is
+    what makes the split modes exact (benchmarks/exp_blockgather.py
+    verifies bit-identity and times all three at the serving shape).
     """
     n, b, p = arrs.shape
     k = pos.shape[1]
@@ -53,6 +65,11 @@ def block_gather(
     a0 = arrs.reshape(n, nblk, t, p)
     a1 = padded[:, t:].reshape(n, nblk, t, p)
     arr_over = jnp.concatenate([a0, a1], axis=2).reshape(n, nblk, 2 * t * p)
+    if mode == "int8x4":
+        i32 = jax.lax.bitcast_convert_type(arr_over, jnp.int32)
+        arr_over = jnp.stack(
+            [(i32 >> (8 * i)) & 255 for i in range(4)], axis=-1
+        ).astype(jnp.int8).reshape(n, nblk, 2 * t * p * 4)
 
     i0 = jnp.floor(pos).astype(jnp.int32)              # [N, K]
     frac = (pos - i0).astype(jnp.float32)
@@ -66,19 +83,59 @@ def block_gather(
     # the [*, K, nblk] one-hot and [*, K, 2t] tap masks are built INSIDE
     # the chunked map: materialized for all N at once they dominate HBM
     # (4.7 GB at the serving shape S=64 H=8 B=2688 — OOMs the v5e)
-    def one_chunk(args):
-        blk_c, off_c, w0_c, w1_c, arr_o = args
-        oh_blk = (blk_c[..., None] == jnp.arange(nblk)).astype(jnp.float32)
-        rows = jnp.einsum(
-            "nkj,njr->nkr", oh_blk, arr_o,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                              # [c, K, 2t*P]
-        rows = rows.reshape(rows.shape[0], k, 2 * t, p)
+    def _select_rows(blk_c, arr_o):
+        """stage 1: one-hot block selection -> f32 rows [c, K, 2t, P]."""
+        c = blk_c.shape[0]
+        if mode == "bf16x3":
+            oh = (blk_c[..., None] == jnp.arange(nblk)).astype(jnp.bfloat16)
+            h1 = arr_o.astype(jnp.bfloat16)
+            r1 = arr_o - h1.astype(jnp.float32)
+            h2 = r1.astype(jnp.bfloat16)
+            h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts = [
+                jnp.einsum("nkj,njr->nkr", oh, hh,
+                           preferred_element_type=jnp.float32)
+                for hh in (h1, h2, h3)
+            ]
+            rows = (parts[0] + parts[1]) + parts[2]
+        elif mode == "int8x4":
+            oh = (blk_c[..., None] == jnp.arange(nblk)).astype(jnp.int8)
+            planes = jnp.einsum(
+                "nkj,njr->nkr", oh, arr_o, preferred_element_type=jnp.int32
+            ).reshape(c, k, 2 * t * p, 4)
+            bits = (
+                (planes[..., 0] & 255)
+                | ((planes[..., 1] & 255) << 8)
+                | ((planes[..., 2] & 255) << 16)
+                | ((planes[..., 3] & 255) << 24)
+            )
+            rows = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        else:
+            oh = (blk_c[..., None] == jnp.arange(nblk)).astype(jnp.float32)
+            rows = jnp.einsum(
+                "nkj,njr->nkr", oh, arr_o,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                          # [c, K, 2t*P]
+        return rows.reshape(c, k, 2 * t, p)
+
+    def taps_chunk(args):
+        """PURE 0/1 tap selection -> ([c, K, P] lower, [c, K, P] upper).
+
+        No interpolation weight touches the chunk body: XLA strips
+        optimization_barriers from lax.map bodies and FMA-contracts any
+        in-loop mul+add (measured ~1-ulp drift vs `_get_fractional` on
+        CPU), so the body only does exact copies (every product is 0 or
+        the value itself, under any dot/FMA lowering) and the rounding
+        ops happen ONCE at top level, structurally identical to
+        `_get_fractional`'s combine."""
+        blk_c, off_c, arr_o = args
+        rows = _select_rows(blk_c, arr_o)
         oto = jnp.arange(2 * t, dtype=jnp.int32)
-        mm = (oto == off_c[..., None]).astype(jnp.float32) * w0_c[..., None] + (
-            oto == (off_c + 1)[..., None]
-        ).astype(jnp.float32) * w1_c[..., None]        # [c, K, 2t]
-        return jnp.sum(rows * mm[..., None], axis=2)   # [c, K, P]
+        m0 = (oto == off_c[..., None]).astype(jnp.float32)
+        m1 = (oto == (off_c + 1)[..., None]).astype(jnp.float32)
+        ga = jnp.sum(rows * m0[..., None], axis=2)     # [c, K, P] copies
+        gb = jnp.sum(rows * m1[..., None], axis=2)
+        return ga, gb
 
     if n > chunk:
         # pad N up to a chunk multiple (zero rows, zero weights): chunking
@@ -87,20 +144,21 @@ def block_gather(
         pad_n = (-n) % chunk
         def padn(x):
             return jnp.pad(x, ((0, pad_n),) + ((0, 0),) * (x.ndim - 1))
-        blk, off, w0, w1, arr_over = map(padn, (blk, off, w0, w1, arr_over))
+        blk_p, off_p, arr_p = map(padn, (blk, off, arr_over))
         shape = ((n + pad_n) // chunk, chunk)
-        out = jax.lax.map(
-            one_chunk,
+        ga, gb = jax.lax.map(
+            taps_chunk,
             (
-                blk.reshape(shape + (k,)),
-                off.reshape(shape + (k,)),
-                w0.reshape(shape + (k,)),
-                w1.reshape(shape + (k,)),
-                arr_over.reshape(shape + (nblk, 2 * t * p)),
+                blk_p.reshape(shape + (k,)),
+                off_p.reshape(shape + (k,)),
+                arr_p.reshape(shape + (nblk, arr_over.shape[-1])),
             ),
         )
-        return out.reshape(n + pad_n, k, p)[:n]
-    return one_chunk((blk, off, w0, w1, arr_over))
+        ga = ga.reshape(n + pad_n, k, p)[:n]
+        gb = gb.reshape(n + pad_n, k, p)[:n]
+    else:
+        ga, gb = taps_chunk((blk, off, arr_over))
+    return ga * w0[..., None] + gb * w1[..., None]
 
 
 def block_gather_complex(

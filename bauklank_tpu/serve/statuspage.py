@@ -87,6 +87,8 @@ function buildPanels(){
       <span id="pt-${slot}">0.00 s</span></div>`;
     h += `<canvas id="scope-${slot}" width=420 height=70></canvas>`;
     h += `<canvas id="spec-${slot}" width=420 height=70></canvas>`;
+    h += `<canvas id="hist-${slot}" width=420 height=48></canvas>`;
+    h += `<canvas id="sg-${slot}" width=420 height=70></canvas>`;
     div.innerHTML = h;
     root.appendChild(div);
     for (const [key,,min,max,step,dflt] of controls){
@@ -126,6 +128,35 @@ function drawSpec(slot, spec){
     g.fillRect(i*w, c.height-h, Math.max(1,w-0.5), h);
   }
 }
+function drawHistory(slot, scope, spec){
+  // scrolling history strips, like the reference Scope's retained
+  // waveform/spectrogram history (app/Scope.mjs:440-610): shift the
+  // canvas left and append one column per analysis frame
+  const hc = $(`hist-${slot}`);
+  if (hc){
+    const g = hc.getContext('2d');
+    g.drawImage(hc, -2, 0);
+    g.fillStyle = '#000'; g.fillRect(hc.width-2, 0, 2, hc.height);
+    let lo = 1, hi = -1;
+    for (const [a, b] of scope){ lo = Math.min(lo, a); hi = Math.max(hi, b); }
+    const ylo = hc.height/2*(1-lo), yhi = hc.height/2*(1-hi);
+    g.strokeStyle = '#4c4'; g.beginPath();
+    g.moveTo(hc.width-1, ylo); g.lineTo(hc.width-1, yhi); g.stroke();
+  }
+  const sc = $(`sg-${slot}`);
+  if (sc){
+    const g = sc.getContext('2d');
+    g.drawImage(sc, -2, 0);
+    const n = spec.length;
+    for (let i=0;i<n;i++){
+      const v = Math.max(0, Math.min(1, (spec[i]+90)/90));
+      g.fillStyle = `rgb(${Math.round(16+v*48)},${Math.round(16+v*96)},${
+        Math.round(32+v*223)})`;
+      const y = sc.height - (i+1)/n*sc.height;
+      g.fillRect(sc.width-2, y, 2, sc.height/n + 1);
+    }
+  }
+}
 function connect(){
   ws = new WebSocket(`ws://${location.host}`);
   ws.onopen = () => {
@@ -162,6 +193,7 @@ function connect(){
       if (pt) pt.textContent = m.inputTime.toFixed(2) + ' s';
     } else if (m.type === 'analysis' && m.scope){
       drawScope(m.slot, m.scope); drawSpec(m.slot, m.spectrum);
+      drawHistory(m.slot, m.scope, m.spectrum);
     }
   };
 }

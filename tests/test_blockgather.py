@@ -98,6 +98,44 @@ def test_block_gather_complex_matches_planes():
     np.testing.assert_array_equal(np.imag(got), planes[..., 1])
 
 
+@pytest.mark.parametrize("mode", ["bf16x3", "int8x4"])
+def test_block_gather_split_modes_bit_exact(mode):
+    """The reduced-pass selection modes must equal the HIGHEST f32 form
+    bit for bit (selection sums have one nonzero term; the splits
+    reconstruct f32 exactly — int8x4 for every bit pattern, bf16x3 down
+    to ~2^-100)."""
+    rng = np.random.default_rng(23)
+    n, k, p = 36, 24, 3
+    arrs = (rng.standard_normal((n, B, p)) *
+            10.0 ** rng.uniform(-20, 20, (n, B, p))).astype(np.float32)
+    pos = _adversarial_positions(rng, n, k)
+    ref = np.asarray(block_gather(jnp.asarray(arrs), jnp.asarray(pos), t=T))
+    got = np.asarray(block_gather(jnp.asarray(arrs), jnp.asarray(pos),
+                                  t=T, mode=mode))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_block_gather_int8x4_exact_on_denormals():
+    """int8x4 selects the raw bit pattern, so even f32 denormals (where
+    bf16x3's third residual underflows) match the HIGHEST mode and the
+    gather oracle bit for bit.  (The comparison is against those paths,
+    not the raw array: the tap stage shared by ALL modes may flush
+    subnormals on some backends — what the mode must not change is the
+    output.)"""
+    rng = np.random.default_rng(29)
+    n, p = 2, 2
+    arrs = np.zeros((n, B, p), np.float32)
+    arrs[..., 0] = (rng.standard_normal((n, B)) *
+                    10.0 ** rng.uniform(-45, 38, (n, B))).astype(np.float32)
+    arrs[..., 1] = 1e-40  # subnormal plane
+    pos = np.tile(np.arange(B, dtype=np.float32), (n, 1))
+    got = np.asarray(block_gather(jnp.asarray(arrs), jnp.asarray(pos),
+                                  t=T, mode="int8x4"))
+    ref = np.asarray(block_gather(jnp.asarray(arrs), jnp.asarray(pos), t=T))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got, _oracle(arrs, pos))
+
+
 def test_block_gather_chunk_padding_matches_unchunked():
     """The ADVICE-r3 pad path (n % chunk != 0) must equal the one-shot form."""
     rng = np.random.default_rng(19)

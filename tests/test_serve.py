@@ -834,7 +834,10 @@ def test_status_page_control_surface():
     for key in ("rate", "semitones", "tonalityHz", "formantSemitones",
                 "formantBaseHz", "volumePercent", "pan", "blockMs", "overlap"):
         assert f'"{key}"' in body, key
-    for frag in ("type:'set'", "type:'analyze'", "msg/s", "buildPanels"):
+    for frag in ("type:'set'", "type:'analyze'", "msg/s", "buildPanels",
+                 # scrolling waveform/spectrogram history strips (the
+                 # reference Scope's retained history, app/Scope.mjs:440-610)
+                 "drawHistory", "hist-${slot}", "sg-${slot}"):
         assert frag in body, frag
     # the page embeds valid JSON for slots and controls
     import re
