@@ -1097,22 +1097,60 @@ def _hop_inputs_hoisted(
         z = jax.lax.complex(q[..., 0], q[..., 1])            # [N, K, C]
         return jnp.moveaxis(z, -1, 1).reshape(h, s_n, c_n, k)
 
-    # 1: spec_in planes at the concatenated five-family table
-    five_p = block_gather(
-        planes_of(cur.reshape(n, c_n, b_n)), pos5.reshape(n, 5 * b_n),
-        t=t_blk, chunk=8,
-    )
-    five = complex_of(five_p, 5 * b_n)                       # [H, S, C, 5B]
+    # 1+2: spec_in at the five-family table and prev/energy at input_bin.
+    # Deterministic-step regime (every stream at tf <= 2, i.e. rate >=
+    # 0.5 — the BASELINE matrix): all six families read within a 12-band
+    # window of input_bin, so ONE fused Pallas window-selection serves
+    # them (5x fewer selection MACs than per-position one-hots,
+    # ops/pallas/chainfetch.py).  MINSTD regimes keep the generic
+    # block-matmul gathers.
+    from bauklank_tpu.ops.pallas.chainfetch import chainfetch, chainfetch_t1
 
-    # 2: rotated-prev planes + channel energies, one call at input_bin
-    comb = jnp.concatenate(
-        [
-            planes_of(spec_prev_rot.reshape(n, c_n, b_n)),
-            jnp.moveaxis(energy_c.reshape(n, c_n, b_n), 1, 2),
-        ],
-        axis=-1,
-    )                                                        # [N, B, 3C]
-    g1 = block_gather(comb, input_bin.reshape(n, b_n), t=t_blk, chunk=8)
+    spec_p = planes_of(cur.reshape(n, c_n, b_n))             # [N, B, 2C]
+    prev_p = planes_of(spec_prev_rot.reshape(n, c_n, b_n))
+    en_p = jnp.moveaxis(energy_c.reshape(n, c_n, b_n), 1, 2)  # [N, B, C]
+    pos5_n = pos5.reshape(n, 5 * b_n)
+    ib_n = input_bin.reshape(n, b_n)
+
+    # both branches return UNCOMBINED (ga, gb, w0, w1) per gather and the
+    # weighted combine runs once below, OUTSIDE the cond: XLA FMA-
+    # contracts mul+add inside cond branches exactly like inside lax.map
+    # bodies, which would break the maxdiff==0 contract vs
+    # `_get_fractional` (ops/blockgather.py taps_chunk).  The fast branch
+    # is already final (its combine happens in the kernel with the exact
+    # rounding sequence), so it passes identity weights through.
+    def slow_gathers(_):
+        ga5, gb5, w05, w15 = block_gather(
+            spec_p, pos5_n, t=t_blk, chunk=8, return_taps=True)
+        comb = jnp.concatenate([prev_p, en_p], axis=-1)      # [N, B, 3C]
+        gac, gbc, w0c, w1c = block_gather(
+            comb, ib_n, t=t_blk, chunk=8, return_taps=True)
+        return ga5, gb5, w05, w15, gac, gbc, w0c, w1c
+
+    t1_fast = chainfetch_t1(b_n, cfg.long_step)
+    if t1_fast is not None:
+        def fast_gathers(_):
+            stepc = jnp.broadcast_to(
+                jnp.clip(time_factor, 0.5, 2.0)[None, :], (h, s_n)
+            ).reshape(n)
+            five_f, g1_f = chainfetch(
+                spec_p, prev_p, en_p, ib_n,
+                pos5_n[:, 3 * b_n: 4 * b_n], pos5_n[:, 4 * b_n:], stepc,
+                long_step=cfg.long_step, t1=t1_fast)
+            one5 = jnp.ones((n, 5 * b_n), jnp.float32)
+            zero5 = jnp.zeros((n, 5 * b_n), jnp.float32)
+            onec = jnp.ones((n, b_n), jnp.float32)
+            zeroc = jnp.zeros((n, b_n), jnp.float32)
+            return five_f, five_f, one5, zero5, g1_f, g1_f, onec, zeroc
+
+        ga5, gb5, w05, w15, gac, gbc, w0c, w1c = jax.lax.cond(
+            jnp.all(time_factor <= 2.0), fast_gathers, slow_gathers, None)
+    else:
+        ga5, gb5, w05, w15, gac, gbc, w0c, w1c = slow_gathers(None)
+    five_p = ga5 * w05[..., None] + gb5 * w15[..., None]
+    g1 = gac * w0c[..., None] + gbc * w1c[..., None]
+
+    five = complex_of(five_p, 5 * b_n)                       # [H, S, C, 5B]
     prev_interp = complex_of(g1[..., : 2 * c_n], b_n)        # [H, S, C, B]
     pe_raw = jnp.moveaxis(g1[..., 2 * c_n:], -1, 1).reshape(
         h, s_n, c_n, b_n

@@ -37,9 +37,15 @@ def block_gather(
     t: int = 32,
     chunk: int = 16,
     mode: str = "highest",
+    return_taps: bool = False,
 ) -> jnp.ndarray:
     """Linear interpolation ``arrs[n, pos[n, k], p]`` with zeros outside
-    [0, B) — exact `_get_fractional` semantics.  Returns [N, K, P].
+    [0, B) — exact `_get_fractional` semantics.  Returns [N, K, P], or
+    with ``return_taps`` the uncombined ``(ga, gb, w0, w1)`` so a caller
+    whose call site sits inside a compiled region (e.g. a lax.cond
+    branch) can run the weighted combine at ITS top level — inside
+    cond/map bodies XLA FMA-contracts the mul+add and breaks the
+    bit-exact `_get_fractional` contract (see taps_chunk).
 
     ``t``: block granularity (B must divide by t).
     ``chunk``: examples per matmul batch (bounds the one-hot transient).
@@ -158,6 +164,8 @@ def block_gather(
         gb = gb.reshape(n + pad_n, k, p)[:n]
     else:
         ga, gb = taps_chunk((blk, off, arr_over))
+    if return_taps:
+        return ga, gb, w0, w1
     return ga * w0[..., None] + gb * w1[..., None]
 
 

@@ -322,7 +322,8 @@ def test_hop_parallel_chunk_matches_scan_form(formants):
 
 
 @pytest.mark.parametrize("formants", [False, True])
-def test_hoisted_chain_inputs_bit_exact_vs_hop_local(formants):
+@pytest.mark.parametrize("regime", ["mixed", "det"])
+def test_hoisted_chain_inputs_bit_exact_vs_hop_local(formants, regime):
     """_hop_inputs_hoisted (blockgather serving form) vs double-vmapped
     _hop_local_inputs (the pinned hop-exact path): maxdiff == 0 on every
     operand.  This is the micro-check the hoisted-path docstrings demand
@@ -355,7 +356,10 @@ def test_hoisted_chain_inputs_bit_exact_vs_hop_local(formants):
     prev = cplx(h, s, c_n)
     seeds = jnp.asarray(
         rng.integers(1, 2 ** 31 - 1, (h, s)).astype(np.uint32))
-    tf = jnp.asarray([0.8, 2.0, 1000.0], jnp.float32)   # last: MINSTD draws
+    if regime == "mixed":  # one MINSTD stream -> generic blockgather path
+        tf = jnp.asarray([0.8, 2.0, 1000.0], jnp.float32)
+    else:  # every stream deterministic -> the fused chainfetch kernel
+        tf = jnp.asarray([0.8, 2.0, 1.0], jnp.float32)
     mult = jnp.asarray([1.0, 1.3, 0.7], jnp.float32)    # first: map gated off
     limit = jnp.asarray([0.18, 0.12, 0.2], jnp.float32)
     fgain = None
