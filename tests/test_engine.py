@@ -36,6 +36,25 @@ def test_identity_reconstruction():
     assert s > 50, s
 
 
+def test_fused_mdft_path_matches_default():
+    """The folded matmul-MDFT fast path (auto-enabled on TPU only) must
+    produce the same render as the jnp.fft path to f32 roundoff — forced
+    on here so the CPU suite covers the TPU configuration."""
+    from bauklank_tpu.engine import core as core_mod
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(int(SR)) * 0.3).astype(np.float32)
+    ref = stretch_offline(_mono(x), 1.4, CFG, n_out=8192)
+    assert core_mod._FUSED_MDFT is None
+    core_mod._FUSED_MDFT = True
+    try:
+        got = stretch_offline(_mono(x), 1.4, CFG, n_out=8192)
+    finally:
+        core_mod._FUSED_MDFT = None
+    s = snr_db(np.asarray(ref), np.asarray(got))
+    assert s > 90, s
+
+
 def test_stretch_preserves_tone_frequency():
     """Stretching a sine by 2x keeps its frequency (the whole point of a
     phase vocoder vs naive resampling)."""

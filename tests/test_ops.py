@@ -41,6 +41,37 @@ def test_mdft_fast_equals_direct(n):
     np.testing.assert_allclose(back_fast, back_direct, atol=1e-4)
 
 
+@pytest.mark.parametrize("n", [512, 1024, 5376, 168])
+def test_mdft_fused_equals_fast(n):
+    # The folded matmul Cooley-Tukey forms (VERDICT-r2 item 4) must agree
+    # with the jnp.fft composites to f32 roundoff, incl. the folded
+    # center-phase and synthesis-window diagonals.
+    import jax
+
+    from bauklank_tpu.engine.core import _center_phase
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 3, n)).astype(np.float32))
+    m = n // 2
+    ref = np.asarray(mdft.mdft(x))
+    got = np.asarray(mdft.mdft_fused(x))
+    np.testing.assert_allclose(got, ref, atol=2e-6 * np.abs(ref).max())
+    refc = np.asarray(mdft.mdft(x) * _center_phase(m))
+    gotc = np.asarray(mdft.mdft_fused(x, center_phase=True))
+    np.testing.assert_allclose(gotc, refc, atol=2e-6 * np.abs(refc).max())
+
+    spec = jnp.asarray(refc)
+    w = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    iref = np.asarray(mdft.imdft(spec * jnp.conj(_center_phase(m)), n) * w)
+    igot = np.asarray(
+        mdft.imdft_fused(spec, n, window=w, center_phase_conj=True))
+    np.testing.assert_allclose(igot, iref, atol=2e-6 * np.abs(iref).max())
+    # jit-compiled path (constants built on-device from real parts)
+    jgot = np.asarray(jax.jit(
+        lambda s: mdft.imdft_fused(s, n, window=w, center_phase_conj=True))(spec))
+    np.testing.assert_allclose(jgot, iref, atol=2e-6 * np.abs(iref).max())
+
+
 def test_mdft_band_centers():
     # A tone exactly at band k's center lands entirely in band k.
     n = 1024
