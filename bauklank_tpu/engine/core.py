@@ -34,6 +34,7 @@ state between chunks is (rot, last mapped spectrum, OLA tail).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -74,6 +75,9 @@ def _use_fused_mdft() -> bool:
     roundoff — the blob-exact engine (engine.spectral) keeps mdft()."""
     if _FUSED_MDFT is not None:
         return _FUSED_MDFT
+    env = os.environ.get("BAUKLANK_FUSED_MDFT")
+    if env is not None:
+        return env not in ("0", "false", "off")
     return jax.default_backend() == "tpu"
 
 

@@ -93,8 +93,15 @@ def _sharded_render(config: StretchConfig, mesh: Mesh, n_seq: int):
         out_spec = rot_seq[:, None] * cur_m
         if gain is not None:
             out_spec = out_spec * gain
-        out_spec = out_spec * jnp.conj(_center_phase(config.bins))
-        frames = mdft.imdft(out_spec, block) * ws  # [S, C, H, B]
+        from bauklank_tpu.engine.core import _use_fused_mdft
+
+        if _use_fused_mdft():
+            frames = mdft.imdft_fused(
+                out_spec, block, window=jnp.asarray(ws), center_phase_conj=True
+            )  # [S, C, H, B]
+        else:
+            out_spec = out_spec * jnp.conj(_center_phase(config.bins))
+            frames = mdft.imdft(out_spec, block) * ws
         h_local = frames.shape[2]
         ola = framing.overlap_add(frames, interval, h_local * interval + block)
         emit = ola[..., : h_local * interval]

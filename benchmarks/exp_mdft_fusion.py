@@ -64,7 +64,12 @@ def main():
     print("forward (windowed frames -> centered spectra):", file=sys.stderr)
     _, ref = timeit("jnp.fft mdft * center_phase", lambda a: M.mdft(a) * _center_phase(m), x)
     hp = jax.lax.Precision.HIGHEST
-    for prec, tag in ((hp, "HIGHEST"), (jax.lax.Precision.DEFAULT, "DEFAULT")):
+    precs = (
+        (hp, "HIGHEST"),
+        (jax.lax.Precision.HIGH, "HIGH"),
+        (jax.lax.Precision.DEFAULT, "DEFAULT"),
+    )
+    for prec, tag in precs:
         _, got = timeit(
             f"mdft_fused[{tag}]",
             lambda a, p=prec: M.mdft_fused(a, center_phase=True, precision=p), x)
@@ -77,7 +82,7 @@ def main():
     _, iref = timeit(
         "imdft(spec*conj(c)) * ws",
         lambda s: M.imdft(s * jnp.conj(_center_phase(m)), block) * ws, spec)
-    for prec, tag in ((hp, "HIGHEST"), (jax.lax.Precision.DEFAULT, "DEFAULT")):
+    for prec, tag in precs:
         _, igot = timeit(
             f"imdft_fused[{tag}]",
             lambda s, p=prec: M.imdft_fused(
