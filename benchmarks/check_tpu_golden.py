@@ -1,0 +1,128 @@
+"""Golden SNR of the SERVING fidelity path on the CURRENT backend.
+
+The CPU suite pins `batched_fidelity_chunk` >= 40 dB vs real blob renders
+(tests/test_golden_wasm.py), but on CPU the sequential band chain runs the
+vmapped lax.scan and the chain gathers take the XLA block-matmul path.  On
+TPU the same step routes through the Mosaic kernels (ops/pallas/bandchain,
+ops/pallas/chainfetch when tf <= 2) — this script re-runs the two serving
+golden cases on whatever backend is active so the real-chip lowerings get
+the same >= 40 dB gate (VERDICT-r3 weak #4: TPU kernels were only ever
+exercised in interpreter mode).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/check_tpu_golden.py
+Prints one line per case; exits non-zero if any case is < 40 dB.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
+FIXTURES = (
+    pathlib.Path(__file__).resolve().parents[1]
+    / "tests" / "golden" / "golden_v1.npz"
+)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/bauklank_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from golden_wasm import material
+
+    from bauklank_tpu.engine.fidelity import (
+        batched_fidelity_chunk, hop_frame_ends,
+    )
+    from bauklank_tpu.engine.spectral import SpectralConfig, init_spectral_state
+
+    golden = np.load(FIXTURES)
+    sr = material.SR
+    skip = round(material.BLOCK_MS / 1000 * sr)
+    block = round(material.BLOCK_MS / 1000 * sr)
+    interval = round(material.INTERVAL_MS / 1000 * sr)
+    print(f"device={jax.devices()[0]}", file=sys.stderr)
+
+    cases = [c for c in material.CASES
+             if c[0] in ("r025_st0", "r05_stp12", "stereo_r07_stp5_f4_comp")]
+    failed = []
+    for name, rate, semitones, channels, extras in cases:
+        ex = material.renderer_extras(extras)
+        use_formants = bool(
+            ex.get("formant_semitones") or ex.get("formant_compensation"))
+        cfg = SpectralConfig(channels=channels, block=block,
+                             interval=interval, formants=use_formants)
+        n_out = int(material.SECONDS * sr)
+        hop_chunk = 8
+        n_hops = -(-n_out // interval)
+        n_hops = -(-n_hops // hop_chunk) * hop_chunk
+        ends = hop_frame_ends(cfg, n_hops, rate, sr)
+
+        key = name + "__seed"
+        seed = int(golden[key]) if key in golden.files else 1
+        # state builders must run under jit on the axon backend (complex64
+        # cannot cross host->device)
+        one = lambda x: jnp.broadcast_to(
+            jnp.asarray(x), (1,) + jnp.asarray(x).shape)
+
+        @jax.jit
+        def init():
+            return jax.tree.map(one, (
+                init_spectral_state(cfg, seed=seed),
+                jnp.zeros((channels, block + interval), jnp.float32),
+            ))
+
+        state = init()
+        x = material.case_input(rate, channels)
+        audios = jnp.asarray(x)[None]
+        mult = float(np.exp2(semitones / 12.0))
+        tf = jnp.asarray([1.0 / rate], jnp.float32)
+        mult_a = jnp.asarray([mult], jnp.float32)
+        limit = jnp.asarray(
+            [(material.TONALITY_HZ / sr) / np.sqrt(mult)], jnp.float32)
+        active = jnp.ones((1,), jnp.float32)
+        kw = {}
+        if use_formants:
+            kw = dict(
+                formant_factor=jnp.asarray(
+                    [np.exp2(ex.get("formant_semitones", 0.0) / 12.0)],
+                    jnp.float32),
+                formant_compensation=jnp.asarray(
+                    [1.0 if ex.get("formant_compensation") else 0.0],
+                    jnp.float32),
+                formant_base=jnp.asarray(
+                    [ex.get("formant_base_hz", 0.0) / sr], jnp.float32),
+            )
+
+        import functools
+        step = jax.jit(functools.partial(batched_fidelity_chunk, cfg))
+        emitted = []
+        for c in range(n_hops // hop_chunk):
+            e = jnp.asarray(ends[c * hop_chunk:(c + 1) * hop_chunk])[None]
+            state, emit = step(state, audios, e, tf, mult_a, limit,
+                               active, **kw)
+            emitted.append(np.asarray(emit[0]))
+        got = np.concatenate(emitted, axis=-1)[..., :n_out]
+
+        end = int(extras.get("_compare_sec", material.SECONDS) * sr)
+        snr = material.snr_db(golden[name][..., :end], got[..., :end], skip)
+        status = "ok" if snr > 40.0 else "FAIL"
+        print(f"{name:32s} {snr:7.1f} dB  {status}")
+        if snr <= 40.0:
+            failed.append(name)
+
+    if failed:
+        print(f"FAILED: {failed}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
