@@ -254,7 +254,18 @@ def test_hop_parallel_chunk_matches_scan_form(formants):
     path) must equal batched_fidelity_chunk_scan (the original hop-scan
     form, itself pinned hop-exact vs pymodel) across regimes: rates above
     and below 0.5 (deterministic + MINSTD vertical steps), pitch shift,
-    and every formant mode (off / auto-f0 / explicit base / mixed)."""
+    and every formant mode (off / auto-f0 / explicit base / mixed).
+
+    Runs in a 512 MB-stack worker thread: tracing + compiling the scan
+    form is the deepest recursion in the suite and segfaults the XLA CPU
+    backend on the 8 MB main-thread stack late in a full run (see
+    tests/util.call_big_stack)."""
+    from tests.util import call_big_stack
+
+    call_big_stack(_hop_parallel_chunk_matches_scan_form, formants)
+
+
+def _hop_parallel_chunk_matches_scan_form(formants):
     import jax
     import jax.numpy as jnp
 

@@ -1,6 +1,40 @@
 """Shared test helpers."""
 
+import threading
+
 import numpy as np
+
+
+def call_big_stack(fn, *args, stack_bytes=512 << 20, **kwargs):
+    """Run ``fn`` in a worker thread with a 512 MB stack.
+
+    The deepest trace/compile in the suite (the fidelity hop-scan body)
+    segfaults the XLA CPU backend late in the full suite: the main
+    thread's C stack is effectively capped at its exec-time 8 MB (raising
+    RLIMIT_STACK at runtime cannot move the mmap regions already placed
+    below the stack VMA), and the recursive trace + LLVM codegen overflow
+    it once enough address space is in use.  Worker-thread stacks are
+    mmapped at the requested size, so the depth is available
+    deterministically regardless of suite context.
+    """
+    out = {}
+
+    def target():
+        try:
+            out["val"] = fn(*args, **kwargs)
+        except BaseException as e:  # propagate pytest assertions too
+            out["exc"] = e
+
+    old = threading.stack_size(stack_bytes)
+    try:
+        th = threading.Thread(target=target, name="big-stack-test")
+        th.start()
+        th.join()
+    finally:
+        threading.stack_size(old)
+    if "exc" in out:
+        raise out["exc"]
+    return out.get("val")
 
 
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
