@@ -10,20 +10,6 @@ backend initializes.
 """
 
 import os
-import resource
-
-# The XLA CPU backend segfaulted compiling the fidelity hop-scan late in
-# the full suite (LLVM codegen recursion on the large scan body overflows
-# the default 8 MB main-thread stack once enough compilations precede it;
-# the same test passes in isolation).  The hard limit is unlimited here —
-# raise the soft limit so the main stack can grow.
-_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-if _soft != resource.RLIM_INFINITY and (_soft < 512 << 20):
-    _want = _hard if _hard != resource.RLIM_INFINITY else resource.RLIM_INFINITY
-    try:
-        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
-    except (ValueError, OSError):
-        pass
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")

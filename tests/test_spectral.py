@@ -256,13 +256,16 @@ def test_hop_parallel_chunk_matches_scan_form(formants):
     and below 0.5 (deterministic + MINSTD vertical steps), pitch shift,
     and every formant mode (off / auto-f0 / explicit base / mixed).
 
-    Runs in a 512 MB-stack worker thread: tracing + compiling the scan
-    form is the deepest recursion in the suite and segfaults the XLA CPU
-    backend on the 8 MB main-thread stack late in a full run (see
-    tests/util.call_big_stack)."""
-    from tests.util import call_big_stack
+    Runs in a fresh subprocess: compiling the scan form SIGSEGVs the
+    XLA:CPU compiler only late in a long-lived full-suite process (not
+    stack depth, not memory — see tests/util.run_test_fn_in_subprocess);
+    a fresh process is the condition known to always pass."""
+    from tests.util import run_test_fn_in_subprocess
 
-    call_big_stack(_hop_parallel_chunk_matches_scan_form, formants)
+    run_test_fn_in_subprocess(
+        "tests.test_spectral", "_hop_parallel_chunk_matches_scan_form",
+        formants,
+    )
 
 
 def _hop_parallel_chunk_matches_scan_form(formants):

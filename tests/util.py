@@ -1,40 +1,43 @@
 """Shared test helpers."""
 
-import threading
+import pathlib
+import subprocess
+import sys
 
 import numpy as np
 
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
 
-def call_big_stack(fn, *args, stack_bytes=512 << 20, **kwargs):
-    """Run ``fn`` in a worker thread with a 512 MB stack.
 
-    The deepest trace/compile in the suite (the fidelity hop-scan body)
-    segfaults the XLA CPU backend late in the full suite: the main
-    thread's C stack is effectively capped at its exec-time 8 MB (raising
-    RLIMIT_STACK at runtime cannot move the mmap regions already placed
-    below the stack VMA), and the recursive trace + LLVM codegen overflow
-    it once enough address space is in use.  Worker-thread stacks are
-    mmapped at the requested size, so the depth is available
-    deterministically regardless of suite context.
+def run_test_fn_in_subprocess(module: str, fn: str, *args, timeout=2400):
+    """Run ``module.fn(*args)`` in a fresh Python process and assert rc 0.
+
+    Compiling the fidelity hop-scan form segfaults the XLA:CPU backend
+    (SIGSEGV inside backend_compile_and_load / LLVM) ONLY late in a
+    long-lived full-suite process — the same compile passes in any fresh
+    process.  Ruled out before reaching for isolation: it is not stack
+    depth (crashes identically on a 512 MB worker-thread stack) and not
+    memory (128 GB free).  A fresh subprocess is the one condition known
+    to always pass, so the affected test runs there; args must repr()
+    round-trip.
     """
-    out = {}
-
-    def target():
-        try:
-            out["val"] = fn(*args, **kwargs)
-        except BaseException as e:  # propagate pytest assertions too
-            out["exc"] = e
-
-    old = threading.stack_size(stack_bytes)
-    try:
-        th = threading.Thread(target=target, name="big-stack-test")
-        th.start()
-        th.join()
-    finally:
-        threading.stack_size(old)
-    if "exc" in out:
-        raise out["exc"]
-    return out.get("val")
+    code = (
+        # same backend forcing as conftest.py (sitecustomize pre-imports
+        # jax pointed at the tunneled TPU; env vars alone are too late)
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "jax.config.update('jax_num_cpu_devices', 8); "
+        f"import {module} as m; m.{fn}("
+        + ", ".join(repr(a) for a in args)
+        + ")"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO_ROOT,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert r.returncode == 0, (
+        f"{module}.{fn}{args} rc={r.returncode}\n"
+        f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    )
 
 
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
