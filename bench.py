@@ -33,6 +33,46 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_devices(timeout_s: float = 600.0):
+    """jax.devices() with a watchdog.
+
+    During a tunnel outage jax.devices() hangs indefinitely, which would
+    leave the caller with NO output at all; keep the one-JSON-line
+    contract with an honest error line instead.  600 s is far above a
+    live tunnel's first answer (seconds-to-a-minute measured) — the
+    multi-minute costs are first compile/h2d, which happen later.
+    """
+    import threading
+
+    import jax
+
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover - backend specific
+            out["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    err = out.get("error", f"jax.devices() unanswered after {timeout_s:.0f}s "
+                           "(tunnel outage?)")
+    print(json.dumps({
+        "metric": "aggregate_realtime_factor",
+        "value": 0.0,
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": 0.0,
+        "error": err,
+    }))
+    sys.stdout.flush()
+    import os
+    os._exit(1)  # the probe thread is stuck in native code; don't join it
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -45,6 +85,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    devices = _probe_devices()
 
     from bauklank_tpu.engine.batched import batched_step_jit, init_batched_state
     from bauklank_tpu.engine.config import preset_default
@@ -65,7 +107,7 @@ def main():
     from bauklank_tpu.engine.batched import formants_off
 
     config = formants_off(config)
-    log(f"device={jax.devices()[0]}  config=block{config.block}/int{config.interval}  streams={n_streams}")
+    log(f"device={devices[0]}  config=block{config.block}/int{config.interval}  streams={n_streams}")
 
     rng = np.random.default_rng(0)
     t = int(6 * sr)
