@@ -91,7 +91,8 @@ def main():
         states = init_batched_fidelity_state(cfg, s)
         return states, audios, ends, tf, mult, limit, active
 
-    for s, h in [(16, 8), (64, 8), (64, 16), (64, 32), (128, 8), (128, 16)]:
+    for s, h in [(16, 8), (64, 8), (64, 16), (64, 32), (128, 8), (128, 16),
+                 (256, 8), (256, 16)]:
         states, audios, ends, tf, mult, limit, active = inputs(s, h)
         args = (states, audios, ends, tf, mult, limit, active)
         step = jax.jit(functools.partial(batched_fidelity_chunk, cfg))
