@@ -235,7 +235,10 @@ def _read_scalefactors_v1(g: _Granule, bits: _Bits, scfsi, gr_idx, prev):
                 for b in range(lo, hi):
                     sf_l[b] = bits.read(sl)
     g.scalefac_l, g.scalefac_s = sf_l, sf_s
-    g.max_sf = (1 << max(s1, s2)) - 1
+    # ISO 11172-3 2.4.3.4.12: the illegal intensity-position marker is
+    # FIXED at 7 for MPEG-1 regardless of slen (the per-slen
+    # (1<<slen)-1 rule is the LSF law only, _read_scalefactors_lsf)
+    g.max_sf = 7
 
 
 def _lsf_slen(g: _Granule, intensity: bool):
@@ -394,7 +397,10 @@ def _requantize(h: _Header, g: _Granule, is_: np.ndarray) -> np.ndarray:
     mult = 0.5 * (g.scalefac_scale + 1.0)
     exp = np.full(576, gain)
     if g.block_type == 2:
-        start_short = long_idx[6] if g.mixed else 0  # 36 (or 0)
+        # mixed blocks: the long region covers the first two subbands
+        # (36 samples) — 8 long sfbs for MPEG-1 (long_idx[8] == 36), 6 for
+        # LSF where the tables place the same boundary at long_idx[6]
+        start_short = (long_idx[6] if h.lsf else long_idx[8]) if g.mixed else 0
         if g.mixed:
             for b in range(8):
                 lo, hi = long_idx[b], long_idx[b + 1]
@@ -454,6 +460,13 @@ def _stereo(h: _Header, g_l: _Granule, g_r: _Granule, xr, gr_chs_raw):
     short_idx = T.SFB_SHORT[h.band_row]
     nz = np.nonzero(gr_chs_raw[1])[0]
     bound = int(nz[-1]) + 1 if len(nz) else 0
+    if bound:
+        # round UP to the next scalefactor-band boundary (the encoder zeroes
+        # the right channel from an sfb boundary; a mid-band bound would
+        # leave the straddling band's tail neither intensity- nor MS-processed)
+        bnds = np.asarray(3 * np.asarray(short_idx) if g_r.block_type == 2
+                          else long_idx)
+        bound = int(bnds[int(np.searchsorted(bnds, bound))])
     sqrt2_inv = 1.0 / math.sqrt(2.0)
 
     def is_factors(is_pos):
@@ -504,7 +517,9 @@ def _stereo(h: _Header, g_l: _Granule, g_r: _Granule, xr, gr_chs_raw):
         for b in range(22):
             lo, hi = long_idx[b], long_idx[min(b + 1, 22)]
             if lo >= bound:
-                is_pos = g_r.scalefac_l[b]
+                # ISO 2.4.3.4.12: above the last transmitted sfb (b=21,
+                # never in the bitstream) the previous band's is_pos extends
+                is_pos = g_r.scalefac_l[min(b, 20)]
                 apply(lo, hi, is_pos, is_pos == g_r.max_sf)
         below = slice(0, min(bound, 576))
         if ms:

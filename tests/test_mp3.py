@@ -102,6 +102,82 @@ def test_live_oracle_matrix(name, sr, ch, mode, bitrate, vbr):
     assert snr >= 60.0, f"{name}: SNR {snr:.1f} dB < 60 dB vs libmpg123"
 
 
+def _edge_intensity_stream(mode_ext: int) -> bytes:
+    """Joint-stereo intensity frames: mid-band bound (right channel's last
+    nonzero at sample 27, inside sfb 6 [24,30) — the bound must round UP
+    to 30), is_pos=7 illegal marker in sfb 12, and left-channel content in
+    the untransmitted catch-all sfb 21 (samples 418+), which extends sfb
+    20's is_pos (ISO 11172-3 2.4.3.4.12)."""
+    from mp3spec.edge_frames import encode_frame_js_long
+
+    sp_l = np.zeros(576, np.int64)
+    for i, v in ((2, 9), (9, -8), (17, 7), (27, -10),       # below bound
+                 (31, 12), (45, -9), (63, 11), (92, -8),    # intensity bands
+                 (140, 9), (200, -7), (300, 8), (380, -6),
+                 (420, 10), (450, -9)):                     # catch-all sfb 21
+        sp_l[i] = v
+    sp_r = np.zeros(576, np.int64)
+    for i, v in ((2, 7), (9, 6), (17, -5), (27, 8)):        # last nz at 27
+        sp_r[i] = v
+    sf_l = [0] * 21
+    sf_r = [0] * 21
+    for b in range(7, 21):              # intensity positions above the bound
+        sf_r[b] = 1 + (b % 6)           # 1..6 (legal)
+    sf_r[12] = 7                        # illegal marker: MS or L/R fallback
+    gr = [[sp_l, sp_r], [sp_l, sp_r]]
+    sfs = [[sf_l, sf_r], [sf_l, sf_r]]
+    return b"".join(encode_frame_js_long(gr, sfs, mode_ext) for _ in range(30))
+
+
+def _edge_mixed_stream() -> bytes:
+    """Mono mixed-block frames with nonzero long scalefactors in sfbs 6-7
+    (samples 24-36) — the region a wrong long/short split at long_idx[6]=24
+    would leave unscaled — plus short-region content with subblock gains."""
+    from mp3spec.edge_frames import encode_frame_mixed_mono
+
+    sp = np.zeros(576, np.int64)
+    for i, v in ((1, 9), (6, -8), (13, 7), (18, -6), (22, 5),
+                 (26, 10), (33, -12),                        # sfbs 6-7
+                 (37, 6), (41, -5), (49, 4), (61, -5), (91, 6), (121, -4)):
+        sp[i] = v
+    sf_l8 = [1, 2, 3, 0, 2, 1, 5, 6]
+    sf_s = [[0, 0, 0] for _ in range(12)]
+    sf_s[3] = [2, 1, 0]
+    sf_s[4] = [0, 3, 1]
+    sf_s[5] = [1, 0, 2]
+    sf_s[6] = [4, 0, 1]
+    return b"".join(
+        encode_frame_mixed_mono([sp, sp], [sf_l8, sf_l8], [sf_s, sf_s],
+                                subblock_gain=(0, 1, 2))
+        for _ in range(30)
+    )
+
+
+EDGE_CASES = [
+    ("intensity", 2, lambda: _edge_intensity_stream(1)),
+    ("ms-intensity", 2, lambda: _edge_intensity_stream(3)),
+    ("mixed-blocks", 1, lambda: _edge_mixed_stream()),
+]
+
+
+@pytest.mark.skipif(not _oracle_ready(), reason="no libmpg123 oracle")
+@pytest.mark.parametrize("name,ch,mint", EDGE_CASES,
+                         ids=[c[0] for c in EDGE_CASES])
+def test_edge_frames_against_oracle(name, ch, mint):
+    """Decoder paths no encoder emits (LAME produces neither intensity
+    stereo nor mixed blocks): hand-crafted conforming frames
+    (tools/mp3spec/edge_frames.py) scored against libmpg123."""
+    from mp3spec.lame import oracle_decode
+
+    mp3b = mint()
+    dec, dsr = decode_mp3(mp3b, check_bits=True)
+    assert dsr == 44100
+    assert dec.shape[0] == ch
+    oracle = oracle_decode(mp3b, 44100, ch)
+    snr = _aligned_snr(oracle, dec)
+    assert snr >= 60.0, f"{name}: SNR {snr:.1f} dB < 60 dB vs libmpg123"
+
+
 def test_load_audio_decodes_mp3_natively(tmp_path):
     from bauklank_tpu.utils.audio import load_audio
 
