@@ -68,17 +68,20 @@ _FUSED_MDFT: bool | None = None  # None = auto (TPU backend only)
 
 
 def _use_fused_mdft() -> bool:
-    """Fast-engine MDFTs ride the folded matmul Cooley-Tukey forms
-    (ops/mdft.mdft_fused) on TPU: the center-phase / window / unpack
-    diagonals fold into the MXU stage constants, removing the elementwise
-    HBM passes around jnp.fft (VERDICT-r2 item 4).  Same math to f32
-    roundoff — the blob-exact engine (engine.spectral) keeps mdft()."""
+    """Fast-engine MDFT A/B knob for the folded matmul Cooley-Tukey forms
+    (ops/mdft.mdft_fused), which fold the center-phase / window / unpack
+    diagonals into the MXU stage constants (VERDICT-r2 item 4 candidate).
+    MEASURED SLOWER on the v5e and therefore OFF by default: the fused
+    forward loses to jnp.fft + XLA's own elementwise fusion (12.3 vs
+    8.5 ms at [8192, 2688] HIGHEST), the inverse is a tie, and the
+    headline bench regresses 2186x -> 1923x fused (docs/STATUS-r4.md §6).
+    Set BAUKLANK_FUSED_MDFT=1 to re-measure."""
     if _FUSED_MDFT is not None:
         return _FUSED_MDFT
     env = os.environ.get("BAUKLANK_FUSED_MDFT")
     if env is not None:
         return env not in ("0", "false", "off")
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def init_state(config: StretchConfig) -> StretchState:

@@ -28,6 +28,7 @@ scan in lockstep.  No data-dependent shapes anywhere.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -1127,7 +1128,16 @@ def _hop_inputs_hoisted(
             comb, ib_n, t=t_blk, chunk=8, return_taps=True)
         return ga5, gb5, w05, w15, gac, gbc, w0c, w1c
 
+    # The fused Pallas kernel is OPT-IN (BAUKLANK_CHAINFETCH=1): measured
+    # on the v5e it REGRESSES the serving step (57.3 vs 39.7 ms at S=64
+    # H=8 — the per-N grid runs 3072 small [480,128]x[128,512] HIGHEST
+    # matmuls that never tile the MXU) and its arr3_t window tensor plus
+    # both cond branches' buffers HBM-OOM the chip at S>=128 or H>=32
+    # (19.65 G used of 15.75 G).  Kept bit-exact + golden-gated as the
+    # measured negative result (docs/STATUS-r4.md §chainfetch).
     t1_fast = chainfetch_t1(b_n, cfg.long_step)
+    if os.environ.get("BAUKLANK_CHAINFETCH", "0") in ("0", "false", "off"):
+        t1_fast = None
     if t1_fast is not None:
         def fast_gathers(_):
             stepc = jnp.broadcast_to(

@@ -104,21 +104,29 @@ def _fetch(arr3_t, delta, w, t1, p_all, fam_planes, interpret):
     n, _, nhi = arr3_t.shape
     b = delta.shape[-1]
     n_out = sum(p1 - p0 for p0, p1 in fam_planes)
+    # Band-axis grid blocking: the kernel's live temporaries (rows
+    # [2t1*P, bb] + the per-family weighted products) scale with the band
+    # block, and at bb == b == 3072 they overflow the 16 MB scoped-VMEM
+    # kernel stack on the v5e (measured: 22.8 MB at S=64 H=8).  A 512-lane
+    # block is ~6x under the limit; per-lane arithmetic is unchanged, so
+    # the bit-exactness contract vs `_get_fractional` is unaffected.
+    bb = next((c for c in (512, 384, 256, 128) if b % c == 0), b)
     return pl.pallas_call(
         functools.partial(_kernel, t1, p_all, fam_planes),
         out_shape=jax.ShapeDtypeStruct((n, n_out, b), jnp.float32),
         grid_spec=pl.GridSpec(
-            grid=(n,),
+            grid=(n, b // bb),
             in_specs=[
-                pl.BlockSpec((1, N_FAM + 1, b), lambda ni: (ni, 0, 0),
+                pl.BlockSpec((1, N_FAM + 1, bb), lambda ni, bi: (ni, 0, bi),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2 * N_FAM, b), lambda ni: (ni, 0, 0),
+                pl.BlockSpec((1, 2 * N_FAM, bb), lambda ni, bi: (ni, 0, bi),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2 * t1 * p_all, nhi),
-                             lambda ni: (ni, 0, 0),
+                             lambda ni, bi: (ni, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, n_out, b), lambda ni: (ni, 0, 0),
+            out_specs=pl.BlockSpec((1, n_out, bb),
+                                   lambda ni, bi: (ni, 0, bi),
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,

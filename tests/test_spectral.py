@@ -337,7 +337,8 @@ def _hop_parallel_chunk_matches_scan_form(formants):
 
 @pytest.mark.parametrize("formants", [False, True])
 @pytest.mark.parametrize("regime", ["mixed", "det"])
-def test_hoisted_chain_inputs_bit_exact_vs_hop_local(formants, regime):
+def test_hoisted_chain_inputs_bit_exact_vs_hop_local(
+        formants, regime, monkeypatch):
     """_hop_inputs_hoisted (blockgather serving form) vs double-vmapped
     _hop_local_inputs (the pinned hop-exact path): maxdiff == 0 on every
     operand.  This is the micro-check the hoisted-path docstrings demand
@@ -373,6 +374,9 @@ def test_hoisted_chain_inputs_bit_exact_vs_hop_local(formants, regime):
     if regime == "mixed":  # one MINSTD stream -> generic blockgather path
         tf = jnp.asarray([0.8, 2.0, 1000.0], jnp.float32)
     else:  # every stream deterministic -> the fused chainfetch kernel
+        # (opt-in since the v5e measurements — force it on so the
+        # kernel's bit-exactness contract stays covered)
+        monkeypatch.setenv("BAUKLANK_CHAINFETCH", "1")
         tf = jnp.asarray([0.8, 2.0, 1.0], jnp.float32)
     mult = jnp.asarray([1.0, 1.3, 0.7], jnp.float32)    # first: map gated off
     limit = jnp.asarray([0.18, 0.12, 0.2], jnp.float32)

@@ -31,9 +31,12 @@ def tpu_mode_graph(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
 
-def test_fidelity_step_lowers_for_tpu(tpu_mode_graph):
+def test_fidelity_step_lowers_for_tpu(tpu_mode_graph, monkeypatch):
     """batched_fidelity_chunk with the Pallas bandchain + chainfetch
-    kernels in-graph must lower for the tpu platform."""
+    kernels in-graph must lower for the tpu platform (chainfetch is
+    opt-in since the v5e measurements — forced on here so its Mosaic
+    lowering stays covered)."""
+    monkeypatch.setenv("BAUKLANK_CHAINFETCH", "1")
     from bauklank_tpu.engine.fidelity import (
         SpectralConfig,
         batched_fidelity_chunk,
@@ -58,10 +61,23 @@ def test_fidelity_step_lowers_for_tpu(tpu_mode_graph):
 
 
 def test_entry_lowers_for_tpu(tpu_mode_graph):
-    """The flagship fast-engine step (fused MDFT + Pallas frame fetch on
-    the TPU-mode graph) must lower for the tpu platform."""
+    """The flagship fast-engine step (Pallas frame fetch on the TPU-mode
+    graph; jnp.fft MDFT — the measured-faster default, STATUS-r4 §6)
+    must lower for the tpu platform."""
     import __graft_entry__ as g
 
+    fn, args = g.entry()
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+    assert len(exp.mlir_module_serialized) > 0
+
+
+def test_entry_lowers_for_tpu_fused_mdft(tpu_mode_graph, monkeypatch):
+    """The BAUKLANK_FUSED_MDFT=1 A/B variant (folded matmul-MDFT) must
+    keep lowering for the tpu platform even though it is off by default."""
+    import __graft_entry__ as g
+    from bauklank_tpu.engine import core as core_mod
+
+    monkeypatch.setattr(core_mod, "_FUSED_MDFT", True)
     fn, args = g.entry()
     exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
     assert len(exp.mlir_module_serialized) > 0
