@@ -266,7 +266,7 @@ class StretchNode:
             # 256-hop buckets matter on remote-attached devices: a bulk
             # render is bounded by dispatch round trips, not device time
             hops = self.hops_per_dispatch
-            for bucket in (256, 64, 16):
+            for bucket in (1024, 256, 64, 16):
                 if hops_needed >= bucket:
                     hops = bucket
                     break

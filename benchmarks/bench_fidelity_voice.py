@@ -42,22 +42,32 @@ def main():
     x = (0.3 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 660 * t)).astype(
         np.float32
     )
-    node = StretchNode(sample_rate=SR, channels=2, engine="fidelity")
+    # hops_per_dispatch=16: bulk-pull mode — remainders below the smallest
+    # bucket over-render one 16-hop dispatch into the FIFO instead of
+    # paying one tunnel RTT per single-hop dispatch
+    node = StretchNode(
+        sample_rate=SR, channels=2, engine="fidelity", hops_per_dispatch=16)
     node.add_buffers([x, x])
     node.configure(blockMs=120.0, overlap=4.0, splitComputation=True)
     node.start(when=0.0, offset=0.0, rate=1.5, semitones=3)
-    out = node.process_output(int(0.5 * SR))  # warm/compile
-    n_out = int(2.0 * SR)
-    t0 = time.perf_counter()
-    out = node.process_output(n_out)
-    float(np.abs(out).max())
-    dt = time.perf_counter() - t0
-    rtf = n_out / SR / dt
-    print(
-        f"single-voice fidelity (node API): {n_out/SR:.1f}s in {dt*1e3:.0f} ms"
-        f" -> {rtf:.1f}x RT",
-        file=sys.stderr,
-    )
+    # warm EVERY pull-bucket graph (1024/256/64/16 hops): the node compiles
+    # one graph per bucket size, and a cold bucket inside the timed pull
+    # reads as a 10+ s "render" (this exact rig bug measured 0.1x once)
+    interval = node.interval_samples
+    for hops in (1024, 256, 64, 16):
+        node.process_output(hops * interval)
+    for seconds in (2.0, 8.0, 30.0):
+        n_out = int(seconds * SR)
+        t0 = time.perf_counter()
+        out = node.process_output(n_out)
+        float(np.abs(out).max())
+        dt = time.perf_counter() - t0
+        rtf = n_out / SR / dt
+        print(
+            f"single-voice fidelity (node API): {n_out/SR:.1f}s pull in "
+            f"{dt*1e3:.0f} ms -> {rtf:.1f}x RT",
+            file=sys.stderr,
+        )
 
     # ---- 2. fidelity pool streaming p99 -----------------------------------
     from bauklank_tpu.serve.pool import StreamPool
