@@ -1128,6 +1128,16 @@ def _hop_inputs_hoisted(
             comb, ib_n, t=t_blk, chunk=8, return_taps=True)
         return ga5, gb5, w05, w15, gac, gbc, w0c, w1c
 
+    def _tap_weights(pos):
+        """block_gather's weight formula (ops/blockgather.py:80-87);
+        mul-of-sub only — no mul+add for XLA to FMA-contract, so safe
+        inside a cond branch."""
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = (pos - i0).astype(jnp.float32)
+        ok0 = ((i0 >= 0) & (i0 < b_n)).astype(jnp.float32)
+        ok1 = ((i0 + 1 >= 0) & (i0 + 1 < b_n)).astype(jnp.float32)
+        return ok0 * (1.0 - frac), ok1 * frac
+
     # The fused Pallas kernel is OPT-IN (BAUKLANK_CHAINFETCH=1): measured
     # on the v5e it REGRESSES the serving step (57.3 vs 39.7 ms at S=64
     # H=8 — the per-N grid runs 3072 small [480,128]x[128,512] HIGHEST
@@ -1138,6 +1148,17 @@ def _hop_inputs_hoisted(
     t1_fast = chainfetch_t1(b_n, cfg.long_step)
     if os.environ.get("BAUKLANK_CHAINFETCH", "0") in ("0", "false", "off"):
         t1_fast = None
+    # Default deterministic-regime fast path: the SAME shared-window idea
+    # in pure XLA (ops/windowgather — batched einsums, 2.6x fewer
+    # selection MACs and ~5x less VPU mask generation than the generic
+    # per-position one-hots).  BAUKLANK_WINGATHER=0 falls back to the
+    # generic blockgather path in every regime.
+    from bauklank_tpu.ops.windowgather import window_gather_taps, window_t1
+
+    t1_win = window_t1(b_n, cfg.long_step)
+    if os.environ.get("BAUKLANK_WINGATHER", "1") in ("0", "false", "off"):
+        t1_win = None
+
     if t1_fast is not None:
         def fast_gathers(_):
             stepc = jnp.broadcast_to(
@@ -1155,6 +1176,20 @@ def _hop_inputs_hoisted(
 
         ga5, gb5, w05, w15, gac, gbc, w0c, w1c = jax.lax.cond(
             jnp.all(time_factor <= 2.0), fast_gathers, slow_gathers, None)
+    elif t1_win is not None:
+        def win_gathers(_):
+            stepc = jnp.broadcast_to(
+                jnp.clip(time_factor, 0.5, 2.0)[None, :], (h, s_n)
+            ).reshape(n)
+            ga5, gb5, gac, gbc = window_gather_taps(
+                spec_p, prev_p, en_p, ib_n, pos5_n, stepc,
+                long_step=cfg.long_step, t1=t1_win, chunk=8)
+            w05, w15 = _tap_weights(pos5_n)
+            w0c, w1c = _tap_weights(ib_n)
+            return ga5, gb5, w05, w15, gac, gbc, w0c, w1c
+
+        ga5, gb5, w05, w15, gac, gbc, w0c, w1c = jax.lax.cond(
+            jnp.all(time_factor <= 2.0), win_gathers, slow_gathers, None)
     else:
         ga5, gb5, w05, w15, gac, gbc, w0c, w1c = slow_gathers(None)
     five_p = ga5 * w05[..., None] + gb5 * w15[..., None]

@@ -336,7 +336,7 @@ def _hop_parallel_chunk_matches_scan_form(formants):
 
 
 @pytest.mark.parametrize("formants", [False, True])
-@pytest.mark.parametrize("regime", ["mixed", "det"])
+@pytest.mark.parametrize("regime", ["mixed", "det", "det-pallas"])
 def test_hoisted_chain_inputs_bit_exact_vs_hop_local(
         formants, regime, monkeypatch):
     """_hop_inputs_hoisted (blockgather serving form) vs double-vmapped
@@ -373,10 +373,16 @@ def test_hoisted_chain_inputs_bit_exact_vs_hop_local(
         rng.integers(1, 2 ** 31 - 1, (h, s)).astype(np.uint32))
     if regime == "mixed":  # one MINSTD stream -> generic blockgather path
         tf = jnp.asarray([0.8, 2.0, 1000.0], jnp.float32)
-    else:  # every stream deterministic -> the fused chainfetch kernel
-        # (opt-in since the v5e measurements — force it on so the
-        # kernel's bit-exactness contract stays covered)
-        monkeypatch.setenv("BAUKLANK_CHAINFETCH", "1")
+    else:  # every stream deterministic -> a shared-window fast branch:
+        # "det" takes the default XLA window gather (ops/windowgather);
+        # "det-pallas" forces the opt-in chainfetch kernel so its
+        # bit-exactness contract stays covered too
+        if regime == "det-pallas":
+            monkeypatch.setenv("BAUKLANK_CHAINFETCH", "1")
+        else:
+            from bauklank_tpu.ops.windowgather import window_t1
+            assert window_t1(cfg.bands, cfg.long_step) is not None, (
+                "det regime must exercise the window-gather branch")
         tf = jnp.asarray([0.8, 2.0, 1.0], jnp.float32)
     mult = jnp.asarray([1.0, 1.3, 0.7], jnp.float32)    # first: map gated off
     limit = jnp.asarray([0.18, 0.12, 0.2], jnp.float32)

@@ -60,6 +60,31 @@ def test_fidelity_step_lowers_for_tpu(tpu_mode_graph, monkeypatch):
     assert b"tpu_custom_call" in exp.mlir_module_serialized
 
 
+def test_fidelity_step_default_lowers_for_tpu(tpu_mode_graph):
+    """The DEFAULT fidelity serving graph (Pallas bandchain + the XLA
+    window gather in the deterministic-regime cond branch) must lower
+    for the tpu platform."""
+    from bauklank_tpu.engine.fidelity import (
+        SpectralConfig,
+        batched_fidelity_chunk,
+        init_batched_fidelity_state,
+    )
+
+    s, h = 4, 2
+    cfg = SpectralConfig(
+        channels=2, block=round(0.12 * SR), interval=round(0.03 * SR))
+    states = init_batched_fidelity_state(cfg, s)
+    audios = jnp.zeros((s, 2, int(2 * SR)), jnp.float32)
+    ends = jnp.full((s, h), 6000, jnp.int32)
+    ones = jnp.ones((s,), jnp.float32)
+    limit = jnp.full((s,), 0.18, jnp.float32)
+
+    f = jax.jit(functools.partial(batched_fidelity_chunk, cfg))
+    exp = jax.export.export(f, platforms=["tpu"])(
+        states, audios, ends, ones, ones, limit, ones)
+    assert b"tpu_custom_call" in exp.mlir_module_serialized  # bandchain
+
+
 def test_entry_lowers_for_tpu(tpu_mode_graph):
     """The flagship fast-engine step (Pallas frame fetch on the TPU-mode
     graph; jnp.fft MDFT — the measured-faster default, STATUS-r4 §6)

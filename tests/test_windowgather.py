@@ -1,0 +1,123 @@
+"""ops.windowgather: the XLA shared-window six-family gather must be
+BIT-IDENTICAL (after the top-level weighted combine) to the generic
+`ops.blockgather.block_gather` path it replaces in the deterministic
+time-step regime — over adversarial positions: negative (down_l below
+band 0), >= B (upper taps past the grid), exact integers (frac == 0),
+block boundaries, anchor-clip cases, and the us/ul shifted tail lanes
+(pos = -c / -L*c, where only an upper tap at band 0 can be valid)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bauklank_tpu.ops.blockgather import block_gather
+from bauklank_tpu.ops.windowgather import window_gather_taps, window_t1
+
+B = 192          # smallest grid window_t1 accepts at t1=16 (192/16 = 12)
+L = 5            # cfg.long_step
+
+
+def _pos5_det(input_bin: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """The five-family position table exactly as _hop_pre_gather builds
+    it in the deterministic regime (d_down == d_up == the scalar c):
+    engine/spectral.py:916-927."""
+    n, b = input_bin.shape
+    cc = c[:, None]
+    us = np.concatenate([input_bin[:, 1:], np.zeros((n, 1), np.float32)], 1) - cc
+    ul = (
+        np.concatenate([input_bin[:, L:], np.zeros((n, L), np.float32)], 1)
+        - cc * L
+    )
+    return np.concatenate(
+        [input_bin, input_bin - cc, input_bin - cc * L, us, ul], axis=1
+    ).astype(np.float32)
+
+
+def _weights(pos: jnp.ndarray, b: int):
+    """block_gather's weight formula (ops/blockgather.py:80-87)."""
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - i0).astype(jnp.float32)
+    ok0 = ((i0 >= 0) & (i0 < b)).astype(jnp.float32)
+    ok1 = ((i0 + 1 >= 0) & (i0 + 1 < b)).astype(jnp.float32)
+    return ok0 * (1.0 - frac), ok1 * frac
+
+
+@pytest.mark.parametrize("n", [3, 12])  # below and above the chunk size
+def test_window_gather_bit_identical_vs_block_gather(n):
+    rng = np.random.default_rng(7)
+    c_n = 2
+    t1 = window_t1(B, L)
+    assert t1 == 16
+
+    spec = rng.standard_normal((n, B, 2 * c_n)).astype(np.float32)
+    prev = rng.standard_normal((n, B, 2 * c_n)).astype(np.float32)
+    en = np.abs(rng.standard_normal((n, B, c_n))).astype(np.float32)
+
+    # adversarial input_bin rows: identity, random in-range fractional,
+    # block boundaries / exact ints, near-0 (anchor clip), near/past B
+    ib = np.empty((n, B), np.float32)
+    for i in range(n):
+        kind = i % 5
+        if kind == 0:
+            ib[i] = np.arange(B)
+        elif kind == 1:
+            ib[i] = np.sort(rng.uniform(0, B - 1, B)).astype(np.float32)
+        elif kind == 2:
+            ib[i] = np.clip(np.arange(B) // 16 * 16.0, 0, B - 1)  # exact ints
+        elif kind == 3:
+            ib[i] = np.clip(np.arange(B) * 0.11, 0, 10.9)  # anchor clip at 0
+        else:
+            ib[i] = np.clip(np.arange(B) * 1.07 + 0.37, 0, B + 4.5)  # past B
+    c = np.asarray([0.5, 1.0, 1.37, 2.0] * ((n + 3) // 4))[:n].astype(np.float32)
+    pos5 = _pos5_det(ib, c)
+
+    spec_j = jnp.asarray(spec)
+    prev_j = jnp.asarray(prev)
+    en_j = jnp.asarray(en)
+    ib_j = jnp.asarray(ib)
+    pos5_j = jnp.asarray(pos5)
+
+    ga5, gb5, gac, gbc = window_gather_taps(
+        spec_j, prev_j, en_j, ib_j, pos5_j, jnp.asarray(c),
+        long_step=L, t1=t1, chunk=8)
+    w05, w15 = _weights(pos5_j, B)
+    w0c, w1c = _weights(ib_j, B)
+    five_w = np.asarray(ga5 * w05[..., None] + gb5 * w15[..., None])
+    comb_w = np.asarray(gac * w0c[..., None] + gbc * w1c[..., None])
+
+    five_ref = np.asarray(block_gather(spec_j, pos5_j, t=8, chunk=8))
+    comb = jnp.concatenate([prev_j, en_j], axis=-1)
+    comb_ref = np.asarray(block_gather(comb, ib_j, t=8, chunk=8))
+
+    np.testing.assert_array_equal(five_w, five_ref)
+    np.testing.assert_array_equal(comb_w, comb_ref)
+
+
+def test_window_gather_tail_lanes_only_upper_tap():
+    """The last shift lanes of us/ul (positions -c, -L*c): c < 1 leaves a
+    valid upper tap at band 0; c >= 1 leaves nothing."""
+    rng = np.random.default_rng(1)
+    n, c_n = 2, 1
+    spec = rng.standard_normal((n, B, 2 * c_n)).astype(np.float32)
+    prev = rng.standard_normal((n, B, 2 * c_n)).astype(np.float32)
+    en = np.abs(rng.standard_normal((n, B, c_n))).astype(np.float32)
+    ib = np.tile(np.arange(B, dtype=np.float32), (n, 1))
+    c = np.asarray([0.75, 1.5], np.float32)   # one each side of 1
+    pos5 = _pos5_det(ib, c)
+
+    ga5, gb5, gac, gbc = window_gather_taps(
+        jnp.asarray(spec), jnp.asarray(prev), jnp.asarray(en),
+        jnp.asarray(ib), jnp.asarray(pos5), jnp.asarray(c),
+        long_step=L, t1=16, chunk=8)
+    w05, w15 = _weights(jnp.asarray(pos5), B)
+    five_w = np.asarray(ga5 * w05[..., None] + gb5 * w15[..., None])
+    five_ref = np.asarray(
+        block_gather(jnp.asarray(spec), jnp.asarray(pos5), t=8, chunk=8))
+    np.testing.assert_array_equal(five_w, five_ref)
+    # us tail lane (family 3, band B-1): pos = -c
+    us_tail = five_w[:, 4 * B - 1]
+    assert np.array_equal(us_tail[0], spec[0, 0] * 0.25)  # upper tap, frac .25
+    assert np.all(us_tail[1] == 0.0)                      # c=1.5: no tap
