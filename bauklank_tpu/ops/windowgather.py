@@ -37,9 +37,13 @@ Exactness (the repo's maxdiff==0 contract vs `_get_fractional`):
   any dot/FMA lowering) and runs inside the lax.map chunk body; the
   interpolation-weighted combine happens ONCE at the caller's top level
   (the chunked-gather FMA hazard, ops/blockgather.py taps_chunk);
-- the us/ul families ride lanes shifted right by their band shift (so
-  lane k' selects against ITS window) and shift back after selection;
-  the last ``shift`` lanes have no k+shift window — there the only
+- in this regime the six families need only THREE tap selections:
+  pred and comb share the input_bin position (one selection over all 10
+  payload planes), and us/ul taps are exact lane shifts of down_s /
+  down_l taps (us_pos[k] = input_bin[k+1] - c = the down_s position at
+  band k+1, since the step is the same scalar for every band; weights
+  shift identically, being functions of the same float positions).  The
+  last ``shift`` lanes have no k+shift source — there the only
   possibly-valid tap is band 0 (upper tap of a position in (-1, 0)),
   patched directly (tail_fix, same law as chainfetch's).
 
@@ -57,9 +61,6 @@ import jax.numpy as jnp
 
 __all__ = ["window_gather_taps", "window_t1"]
 
-# family order matches _hop_pre_gather's pos5 table + the comb gather
-_SHIFTS = (0, 0, 0, 1, None, 0)  # None = long_step, resolved at call
-
 
 def window_t1(bands: int, long_step: int) -> int | None:
     """Smallest block size t1 with bands % t1 == 0 whose 2*t1 window
@@ -74,17 +75,8 @@ def window_t1(bands: int, long_step: int) -> int | None:
     return None
 
 
-def _rshift(x: jnp.ndarray, sh: int) -> jnp.ndarray:
-    """Lane shift right (zero fill) on the last axis."""
-    if sh == 0:
-        return x
-    return jnp.concatenate(
-        [jnp.zeros_like(x[..., :sh]), x[..., : x.shape[-1] - sh]], axis=-1)
-
-
 def _lshift(x: jnp.ndarray, sh: int) -> jnp.ndarray:
-    if sh == 0:
-        return x
+    """Lane shift left (zero fill) on the last axis."""
     return jnp.concatenate(
         [x[..., sh:], jnp.zeros_like(x[..., :sh])], axis=-1)
 
@@ -131,20 +123,22 @@ def window_gather_taps(
         jnp.floor(input_bin - lf * c).astype(jnp.int32), 0, b - 1)
     hi = anchor // t1                                     # [N, B]
 
-    pos_f = [
-        pos5[:, :b], pos5[:, b: 2 * b], pos5[:, 2 * b: 3 * b],
-        pos5[:, 3 * b: 4 * b], pos5[:, 4 * b:], input_bin,
-    ]
-    shifts = tuple(long_step if s is None else s for s in _SHIFTS)
+    # The six families collapse to THREE tap selections in this regime:
+    # pred and comb share the position input_bin (one selection over all
+    # 10 payload planes), and because the step is the SAME scalar c for
+    # every band, us_pos[k] = input_bin[k+1] - c = down_s position at
+    # band k+1 and ul_pos[k] = down_l position at band k+L — us/ul taps
+    # are exact lane shifts of down_s/down_l taps (their interpolation
+    # weights shift identically, being functions of the same float
+    # positions), reconstructed at top level below.
+    pos_f = [input_bin, pos5[:, b: 2 * b], pos5[:, 2 * b: 3 * b]]
     deltas = []
-    for f, pos in enumerate(pos_f):
+    for pos in pos_f:
         i0 = jnp.floor(pos).astype(jnp.int32)
-        if shifts[f]:
-            i0 = _rshift(i0, shifts[f])
         deltas.append(i0 - hi * t1)                       # [N, B] tap offset
-    delta = jnp.stack(deltas, axis=1)                     # [N, 6, B] int32
+    delta = jnp.stack(deltas, axis=1)                     # [N, 3, B] int32
 
-    fam_planes = ((0, p_spec),) * 5 + ((p_spec, p_all),)
+    fam_planes = ((0, p_all), (0, p_spec), (0, p_spec))
 
     def taps_chunk(args):
         """PURE 0/1 selection (chunked-gather FMA hazard: no weight may
@@ -180,38 +174,36 @@ def window_gather_taps(
             taps_chunk,
             (
                 hi_p.reshape(nc, chunk, b),
-                delta_p.reshape(nc, chunk, 6, b),
+                delta_p.reshape(nc, chunk, 3, b),
                 win_p.reshape(nc, chunk, nhi, 2 * t1 * p_all),
             ),
         )
         outs = [o.reshape(n + pad_n, b, -1)[:n] for o in outs]
     else:
         outs = list(taps_chunk((hi, delta, win)))
+    ga_ib, gb_ib, ga_ds, gb_ds, ga_dl, gb_dl = outs
 
-    # undo the us/ul pre-shift (lane k' holds output k'-sh) and patch the
-    # tail lanes, whose positions sit below 0 where only an upper tap at
+    # us/ul taps = lane shifts of down_s/down_l taps (positions equal by
+    # construction, see above); the last ``shift`` lanes have no k+shift
+    # source — their positions sit below 0, where only an upper tap at
     # band 0 can be valid (chainfetch tail_fix; the engine itself zeroes
     # these lanes, but the block_gather contract sees them)
-    fives_a, fives_b = [], []
-    for f in range(5):
-        ga, gb = outs[2 * f], outs[2 * f + 1]
-        if shifts[f]:
-            # shift on the band axis (axis 1): move it last for _lshift
-            ga = jnp.moveaxis(ga, 1, -1)
-            gb = jnp.moveaxis(gb, 1, -1)
-            ga, gb = _lshift(ga, shifts[f]), _lshift(gb, shifts[f])
-            ga = jnp.moveaxis(ga, -1, 1)
-            gb = jnp.moveaxis(gb, -1, 1)
-            ptail = pos_f[f][:, b - shifts[f]:]
-            i0 = jnp.floor(ptail).astype(jnp.int32)
-            val = jnp.where(
-                ((i0 + 1) == 0)[:, :, None], spec_planes[:, :1, :], 0.0)
-            gb = jnp.concatenate([gb[:, : b - shifts[f]], val], axis=1)
-            ga = jnp.concatenate(
-                [ga[:, : b - shifts[f]], jnp.zeros_like(val)], axis=1)
-        fives_a.append(ga)
-        fives_b.append(gb)
-    ga5 = jnp.concatenate(fives_a, axis=1)                # [N, 5B, 2C]
-    gb5 = jnp.concatenate(fives_b, axis=1)
-    gac, gbc = outs[10], outs[11]                         # [N, B, 3C]
+    def shifted(ga, gb, pos, sh):
+        ga = jnp.moveaxis(_lshift(jnp.moveaxis(ga, 1, -1), sh), -1, 1)
+        gb = jnp.moveaxis(_lshift(jnp.moveaxis(gb, 1, -1), sh), -1, 1)
+        ptail = pos[:, b - sh:]                           # [N, sh]
+        i0 = jnp.floor(ptail).astype(jnp.int32)
+        val = jnp.where(
+            ((i0 + 1) == 0)[:, :, None], spec_planes[:, :1, :], 0.0)
+        gb = jnp.concatenate([gb[:, : b - sh], val], axis=1)
+        ga = jnp.concatenate([ga[:, : b - sh], jnp.zeros_like(val)], axis=1)
+        return ga, gb
+
+    ga_us, gb_us = shifted(ga_ds, gb_ds, pos5[:, 3 * b: 4 * b], 1)
+    ga_ul, gb_ul = shifted(ga_dl, gb_dl, pos5[:, 4 * b:], long_step)
+    ga5 = jnp.concatenate(
+        [ga_ib[..., :p_spec], ga_ds, ga_dl, ga_us, ga_ul], axis=1)
+    gb5 = jnp.concatenate(
+        [gb_ib[..., :p_spec], gb_ds, gb_dl, gb_us, gb_ul], axis=1)
+    gac, gbc = ga_ib[..., p_spec:], gb_ib[..., p_spec:]   # [N, B, 3C]
     return ga5, gb5, gac, gbc

@@ -11,7 +11,10 @@ The pipeline here is a faithful re-assembly of
 (no math duplicated — any drift would show as a wrong total vs
 benchmarks/profile_fidelity.py's chain_inputs_hops line).
 
-Usage: PYTHONPATH=. python benchmarks/profile_hoisted.py [S] [H]
+Usage: PYTHONPATH=. python benchmarks/profile_hoisted.py [S] [H] [regime]
+  regime: "minstd" (default; tf=1000, generic blockgather path) or
+          "det" (tf in [0.5, 2], the shared-window gather path —
+          ops/windowgather — that the BASELINE matrix serves through)
 """
 
 from __future__ import annotations
@@ -43,9 +46,11 @@ def main():
         _smooth_bidirectional,
     )
     from bauklank_tpu.ops.blockgather import block_gather
+    from bauklank_tpu.ops.windowgather import window_gather_taps, window_t1
 
     s_n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     h = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    regime = sys.argv[3] if len(sys.argv) > 3 else "minstd"
     block = round(0.12 * SR)
     interval = round(0.03 * SR)
     cfg = SpectralConfig(channels=2, block=block, interval=interval)
@@ -91,7 +96,10 @@ def main():
         (rng.standard_normal((h, s_n, c_n, b_n, 2))
          * env[:, None]).astype(np.float32)))
     seeds = jnp.asarray(rng.integers(1, 2 ** 31 - 1, (h, s_n)).astype(np.uint32))
-    tf = jnp.asarray(np.full(s_n, 1000.0, np.float32))  # kiosk regime
+    if regime == "det":  # BASELINE serving regime: shared-window gathers
+        tf = jnp.asarray(np.linspace(0.5, 2.0, s_n).astype(np.float32))
+    else:                # kiosk MINSTD regime: generic blockgather path
+        tf = jnp.asarray(np.full(s_n, 1000.0, np.float32))
     mult = jnp.asarray(np.exp2(rng.uniform(-1, 1, s_n)).astype(np.float32))
     limit = jnp.full((s_n,), 8000.0 / SR, jnp.float32)
 
@@ -146,30 +154,65 @@ def main():
             z = jax.lax.complex(q[..., 0], q[..., 1])
             return jnp.moveaxis(z, -1, 1).reshape(h, s_n, c_n, k)
 
-        if stub_five:
-            five = jnp.concatenate([cur] * 5, axis=-1)
-        else:
-            five_p = block_gather(
-                planes_of(cur.reshape(n, c_n, b_n)),
-                pos5.reshape(n, 5 * b_n), t=t_f, chunk=c_five)
-            five = complex_of(five_p, 5 * b_n)
+        def weights(pos):
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            frac = (pos - i0).astype(jnp.float32)
+            ok0 = ((i0 >= 0) & (i0 < b_n)).astype(jnp.float32)
+            ok1 = ((i0 + 1 >= 0) & (i0 + 1 < b_n)).astype(jnp.float32)
+            return ok0 * (1.0 - frac), ok1 * frac
 
-        if stub_comb:
-            prev_interp = prev
-            pe_raw = energy_c
-        else:
-            comb = jnp.concatenate(
-                [
-                    planes_of(spec_prev_rot.reshape(n, c_n, b_n)),
-                    jnp.moveaxis(energy_c.reshape(n, c_n, b_n), 1, 2),
-                ],
-                axis=-1,
-            )
-            g1 = block_gather(
-                comb, input_bin.reshape(n, b_n), t=t_f, chunk=c_five)
+        if regime == "det" and not (stub_five or stub_comb):
+            # ONE fused shared-window call serves all six families
+            stepc = jnp.broadcast_to(
+                jnp.clip(tf, 0.5, 2.0)[None, :], (h, s_n)).reshape(n)
+            pos5_n = pos5.reshape(n, 5 * b_n)
+            ib_n = input_bin.reshape(n, b_n)
+            ga5, gb5, gac, gbc = window_gather_taps(
+                planes_of(cur.reshape(n, c_n, b_n)),
+                planes_of(spec_prev_rot.reshape(n, c_n, b_n)),
+                jnp.moveaxis(energy_c.reshape(n, c_n, b_n), 1, 2),
+                ib_n, pos5_n, stepc,
+                long_step=cfg.long_step, t1=window_t1(b_n, cfg.long_step),
+                chunk=8)
+            w05, w15 = weights(pos5_n)
+            w0c, w1c = weights(ib_n)
+            five = complex_of(ga5 * w05[..., None] + gb5 * w15[..., None],
+                              5 * b_n)
+            g1 = gac * w0c[..., None] + gbc * w1c[..., None]
             prev_interp = complex_of(g1[..., : 2 * c_n], b_n)
             pe_raw = jnp.moveaxis(g1[..., 2 * c_n:], -1, 1).reshape(
                 h, s_n, c_n, b_n)
+        elif stub_five and stub_comb or (
+                regime == "det" and (stub_five or stub_comb)):
+            # det mode: the fused call serves both, so either stub drops it
+            five = jnp.concatenate([cur] * 5, axis=-1)
+            prev_interp = prev
+            pe_raw = energy_c
+        else:
+            if stub_five:
+                five = jnp.concatenate([cur] * 5, axis=-1)
+            else:
+                five_p = block_gather(
+                    planes_of(cur.reshape(n, c_n, b_n)),
+                    pos5.reshape(n, 5 * b_n), t=t_f, chunk=c_five)
+                five = complex_of(five_p, 5 * b_n)
+
+            if stub_comb:
+                prev_interp = prev
+                pe_raw = energy_c
+            else:
+                comb = jnp.concatenate(
+                    [
+                        planes_of(spec_prev_rot.reshape(n, c_n, b_n)),
+                        jnp.moveaxis(energy_c.reshape(n, c_n, b_n), 1, 2),
+                    ],
+                    axis=-1,
+                )
+                g1 = block_gather(
+                    comb, input_bin.reshape(n, b_n), t=t_f, chunk=c_five)
+                prev_interp = complex_of(g1[..., : 2 * c_n], b_n)
+                pe_raw = jnp.moveaxis(g1[..., 2 * c_n:], -1, 1).reshape(
+                    h, s_n, c_n, b_n)
 
         if stub_post:
             return dict(tw=prev_interp * five[..., :b_n], pe=pe_raw)
@@ -188,12 +231,13 @@ def main():
         print(f"{'':52s} -> {stage} marginal {full-dt:7.2f} ms "
               f"({(full-dt)/h:5.2f} /hop)", file=sys.stderr)
 
-    print("--- five-family (t, chunk) sweep in fused context ---")
-    for t_f, c_f in [(8, 8), (8, 16), (16, 8), (16, 16), (32, 16), (4, 8)]:
-        if b_n % t_f:
-            continue
-        fn = jax.jit(functools.partial(pipeline, t_five=t_f, c_five=c_f))
-        timeit(f"  t_five={t_f} chunk={c_f}", fn, *args)
+    if regime != "det":
+        print("--- five-family (t, chunk) sweep in fused context ---")
+        for t_f, c_f in [(8, 8), (8, 16), (16, 8), (16, 16), (32, 16), (4, 8)]:
+            if b_n % t_f:
+                continue
+            fn = jax.jit(functools.partial(pipeline, t_five=t_f, c_five=c_f))
+            timeit(f"  t_five={t_f} chunk={c_f}", fn, *args)
 
     print("--- peaks-internal gather t sweep in fused context ---")
     for t_p in (8, 16, 32, 64):
