@@ -408,6 +408,45 @@ def _find_peaks_map_scatter(energy: jnp.ndarray, smoothed: jnp.ndarray,
     return input_bin, grad
 
 
+def _count_leq_blocked(u: jnp.ndarray, out_len: int, t: int,
+                       chunk: int = 16) -> jnp.ndarray:
+    """``count[n, q] = #(s : u[n, s] <= q)`` for the integer query grid
+    q in [0, out_len), u int32 in [0, out_len] (the value out_len counts
+    nowhere).  Decomposed block-wise so the count rides the MXU as one
+    0/1 bf16 einsum (exact: 0/1 products are exact in bf16, f32
+    accumulation of <= source-length ones is exact):
+
+        count[kk*t + r] = #(u//t < kk) + einsum_s A[s,kk] R[s,r]
+
+    with A = (u//t == kk), R = (u%t <= r).  Serves both the peaks-map
+    searchsorted (``idx[b] = #(out_sorted <= b)``) and the sort-free
+    run-boundary compaction (``start_pos[s] = #(cum_starts <= s)``)."""
+    n, src = u.shape
+    nblk = out_len // t
+    kb = u // t
+    rb = u - kb * t
+
+    def count_chunk(args):
+        kb_c, rb_c = args
+        a = (kb_c[:, :, None] == jnp.arange(nblk)[None, None, :]).astype(
+            jnp.bfloat16)
+        r = (rb_c[:, :, None] <= jnp.arange(t)[None, None, :]).astype(
+            jnp.bfloat16)
+        within = jnp.einsum(
+            "nsk,nsr->nkr", a, r, preferred_element_type=jnp.float32)
+        counts = within[:, :, -1]                               # block totals
+        coarse = jnp.cumsum(counts, axis=1) - counts            # exclusive
+        return jnp.round(coarse[:, :, None] + within).astype(jnp.int32).reshape(
+            kb_c.shape[0], out_len)
+
+    if n > chunk and n % chunk == 0:
+        return jax.lax.map(
+            count_chunk,
+            (kb.reshape(-1, chunk, src), rb.reshape(-1, chunk, src)),
+        ).reshape(n, out_len)
+    return count_chunk((kb, rb))
+
+
 def _find_peaks_map_batched(
     energy: jnp.ndarray,    # [N, B]
     smoothed: jnp.ndarray,  # [N, B]
@@ -427,9 +466,11 @@ def _find_peaks_map_batched(
       boundaries: runs are contiguous band intervals, so
       sum(w[s..e]) = cs[e] - cs[s-1]; double-float32 pairs kill the
       cancellation (see :func:`_comp_cumsum`);
-    - run boundaries -> sorted compaction: start/end band positions are
-      monotone in run order, so ``sort(where(boundary, band, sentinel))``
-      compacts them to run slots with no scatter;
+    - run boundaries -> rank-count compaction: start/end band positions
+      are monotone in run order, so the s-th boundary position is itself
+      a count over the inclusive boundary cumsum
+      (``start_pos[s] = #(cum_starts <= s)``, :func:`_count_leq_blocked`)
+      — no sort, no scatter (the r4 sort form cost two [N, B] sorts);
     - boundary + rank lookups ride ``ops.blockgather`` one-hot block
       matmuls (integer positions: frac == 0, rows copy bit-exactly);
     - the rank count (searchsorted of the integer band grid in the sorted
@@ -457,13 +498,24 @@ def _find_peaks_map_batched(
     cs = _comp_cumsum(jnp.stack([w, w * b_idx[None]], axis=-1), axis=1)
     vals_cs = jnp.concatenate(cs, axis=-1)  # [N, B, 4] = (e, eb) hi | lo
 
-    iota_b = jnp.arange(bands, dtype=jnp.int32)[None]
-    sentinel = jnp.int32(bands + 1)   # start-1 and end both land out of
-    # range for pad slots, so both boundary reads come back 0
-    start_pos = jnp.sort(jnp.where(run_start, iota_b, sentinel), axis=1)
-    end_pos = jnp.sort(jnp.where(run_end, iota_b, sentinel), axis=1)
+    # boundary compaction WITHOUT the two [N, B] sorts: boundary band
+    # positions are monotone in run order, so the s-th start position is
+    # itself a rank count over the inclusive boundary cumsum —
+    # start_pos[s] = #(b : cum_starts[b] <= s) — which rides the same
+    # MXU 0/1 bf16 einsum as the searchsorted below (exact integers).
+    # Pad slots (s >= n_peaks) come back ``bands`` where the sort's
+    # sentinel gave bands+1: both boundary reads then land on in-range
+    # rows instead of returning 0, but every consumer masks those slots
+    # (center/out_bin via ``valid``, ranks clip to cap < n_peaks), so
+    # valid outputs are bit-identical to the sort form (pinned by
+    # tests/test_spectral.py's delegation paths + the golden matrix).
+    t_sl = next((t for t in (64, 32, 16, 8) if slots % t == 0), t_blk)
+    c_start = jnp.cumsum(run_start.astype(jnp.int32), axis=1)
+    c_end = jnp.cumsum(run_end.astype(jnp.int32), axis=1)
+    start_pos = _count_leq_blocked(c_start, slots, t_sl)
+    end_pos = _count_leq_blocked(c_end, slots, t_sl)
     posb = jnp.concatenate(
-        [end_pos[:, :slots], start_pos[:, :slots] - 1], axis=1
+        [end_pos, start_pos - 1], axis=1
     ).astype(jnp.float32)                                       # [N, 2*slots]
     g0 = block_gather(vals_cs, posb, t=t_blk, chunk=8)          # [N, 2s, 4]
     ge, gs = g0[:, :slots], g0[:, slots:]
@@ -495,30 +547,7 @@ def _find_peaks_map_batched(
     # wants tiny blocks, the count wants a lane-sized minor output dim)
     t_cnt = next((t for t in (64, 32, 16, 8) if bands % t == 0), t_blk)
     u = jnp.clip(jnp.ceil(out_sorted), 0.0, float(bands)).astype(jnp.int32)
-    nblk = bands // t_cnt
-    kb = u // t_cnt                                             # [N, s]
-    rb = u - kb * t_cnt
-
-    def count_chunk(args):
-        kb_c, rb_c = args
-        a = (kb_c[:, :, None] == jnp.arange(nblk)[None, None, :]).astype(
-            jnp.bfloat16)
-        r = (rb_c[:, :, None] <= jnp.arange(t_cnt)[None, None, :]).astype(
-            jnp.bfloat16)
-        within = jnp.einsum(
-            "nsk,nsr->nkr", a, r, preferred_element_type=jnp.float32)
-        counts = within[:, :, -1]                               # block totals
-        coarse = jnp.cumsum(counts, axis=1) - counts            # exclusive
-        return jnp.round(coarse[:, :, None] + within).astype(jnp.int32).reshape(
-            kb_c.shape[0], bands)
-
-    if n > 16 and n % 16 == 0:
-        idx = jax.lax.map(
-            count_chunk,
-            (kb.reshape(-1, 16, slots), rb.reshape(-1, 16, slots)),
-        ).reshape(n, bands)
-    else:
-        idx = count_chunk((kb, rb))                             # [N, B]
+    idx = _count_leq_blocked(u, bands, t_cnt)                   # [N, B]
 
     has = n_peaks > 0
     cap = jnp.maximum(n_peaks - 1, 0)[:, None]

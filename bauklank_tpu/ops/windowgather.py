@@ -56,6 +56,8 @@ tests/test_spectral.py hoisted-vs-local maxdiff==0 micro-check.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -75,10 +77,18 @@ def window_t1(bands: int, long_step: int) -> int | None:
     return None
 
 
-def _lshift(x: jnp.ndarray, sh: int) -> jnp.ndarray:
-    """Lane shift left (zero fill) on the last axis."""
-    return jnp.concatenate(
-        [x[..., sh:], jnp.zeros_like(x[..., :sh])], axis=-1)
+def window_geom(bands: int, long_step: int, t1: int) -> tuple[int, int]:
+    """Default (g, w): finest block stride g dividing the band grid with
+    the minimal covering strip w = g + 2L + 2.  The tap masked-sums are
+    VPU-compute-bound, so cost scales ~linearly in w while the one-hot
+    einsum MACs scale in w/g; measured on the v5e at [N=1024, B=3072]
+    (benchmarks/exp_winfetch.py): (8,20) 24.6 ms, (8,24) 27.2,
+    (16,32) 28.8, (24,40) 26.5, (4,24) 46.3 — g=4's doubled mask
+    generation swamps its narrower strip."""
+    for g in (8, 16, 24, 32):
+        if bands % g == 0 and bands // g >= 8:
+            return g, g + 2 * long_step + 2
+    return t1, 2 * t1
 
 
 def window_gather_taps(
@@ -91,6 +101,9 @@ def window_gather_taps(
     long_step: int = 5,
     t1: int = 16,
     chunk: int = 8,
+    fetch: str | None = None,
+    precision=None,
+    geom: tuple[int, int] | None = None,
 ):
     """Uncombined taps for the five-family and comb gathers, in the
     exact layouts `_hop_inputs_hoisted` consumes:
@@ -103,25 +116,66 @@ def window_gather_taps(
     return (identical formula from the same positions).  Tap values
     match block_gather's wherever the weight is nonzero; where a weight
     is zero the tap may be 0 instead of block_gather's clipped-window
-    residue — the combined result is bit-identical either way."""
+    residue — the combined result is bit-identical either way.
+
+    ``fetch`` selects how each band's w-wide candidate strip is
+    pulled out of the overlapped window tensor (None -> the
+    ``BAUKLANK_WINFETCH`` env var, default "einsum"):
+      - "einsum": [B, ng] one-hot x window einsum at HIGHEST — exact
+        row copies on the MXU (the r4 default's form);
+      - "gather": ``take_along_axis`` on the ng axis — one contiguous
+        w*P-float row per band (~1.3 KB), nothing like the ~16 B
+        minor-axis rows that made XLA gather the original serving wall
+        (ops/blockgather.py module docstring).  A gather IS a copy, so
+        bit-exactness is structural; no [B, ng] mask is ever built.
+        MEASURED NEGATIVE on the v5e anyway (50.2 vs 35.9 ms marginal
+        at S=128 H=8) — kept as a tested mode.
+
+    ``geom = (g, w)`` sets the window-block stride g and strip width w
+    (None -> the ``BAUKLANK_WINGEOM`` env var "g,w", default
+    ``(t1, 2*t1)``).  Correctness needs ``w >= g + 2*long_step + 2``
+    (worst tap = upper tap of input_bin with the anchor at the start of
+    its g-block) and ``b % g == 0``.  The tap masked-sums are
+    VPU-compute-bound (benchmarks/exp_winfetch.py: stubbing the row
+    fetch leaves 26.5 of 28.8 ms), so a narrower strip cuts the
+    dominant cost ~linearly while the einsum MAC count only grows as
+    w/g stays small.
+
+    All modes share the pure-0/1 tap selection and the caller-side
+    combine; tests/test_windowgather.py pins them bit-identical."""
+    if fetch is None:
+        fetch = os.environ.get("BAUKLANK_WINFETCH", "einsum")
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    if geom is None:
+        env = os.environ.get("BAUKLANK_WINGEOM", "")
+        if env:
+            geom = tuple(int(x) for x in env.split(","))
+        else:
+            geom = window_geom(input_bin.shape[1], long_step, t1)
+    g, w = geom
     n, b, p_spec = spec_planes.shape
     c2 = prev_planes.shape[2]
     ce = energy.shape[2]
     p_all = p_spec + c2 + ce
-    nhi = b // t1
+    assert b % g == 0 and w >= g + 2 * long_step + 2, (b, g, w, long_step)
+    ng = b // g
+    ncop = -(-w // g)                                     # ceil(w / g)
     lf = float(long_step)
     c = step[:, None]                                     # [N, 1]
 
     payload = jnp.concatenate([spec_planes, prev_planes, energy], axis=2)
-    padded = jnp.pad(payload, ((0, 0), (0, t1), (0, 0)))
-    a0 = payload.reshape(n, nhi, t1, p_all)
-    a1 = padded[:, t1:].reshape(n, nhi, t1, p_all)
-    win = jnp.concatenate([a0, a1], axis=2).reshape(n, nhi, 2 * t1 * p_all)
+    padded = jnp.pad(payload, ((0, 0), (0, ncop * g), (0, 0)))
+    copies = [
+        padded[:, k * g: k * g + b].reshape(n, ng, g, p_all)
+        for k in range(ncop)
+    ]
+    win = jnp.concatenate(copies, axis=2)[:, :, :w].reshape(n, ng, w * p_all)
 
     # window anchor: the lowest family floor is floor(input_bin - L*c)
     anchor = jnp.clip(
         jnp.floor(input_bin - lf * c).astype(jnp.int32), 0, b - 1)
-    hi = anchor // t1                                     # [N, B]
+    hi = anchor // g                                      # [N, B]
 
     # The six families collapse to THREE tap selections in this regime:
     # pred and comb share the position input_bin (one selection over all
@@ -135,7 +189,7 @@ def window_gather_taps(
     deltas = []
     for pos in pos_f:
         i0 = jnp.floor(pos).astype(jnp.int32)
-        deltas.append(i0 - hi * t1)                       # [N, B] tap offset
+        deltas.append(i0 - hi * g)                        # [N, B] tap offset
     delta = jnp.stack(deltas, axis=1)                     # [N, 3, B] int32
 
     fam_planes = ((0, p_all), (0, p_spec), (0, p_spec))
@@ -143,23 +197,37 @@ def window_gather_taps(
     def taps_chunk(args):
         """PURE 0/1 selection (chunked-gather FMA hazard: no weight may
         touch this body — ops/blockgather.py taps_chunk)."""
-        hi_c, delta_c, win_c = args                       # [c,B] [c,6,B] [c,nhi,R]
-        jj = jnp.arange(nhi, dtype=jnp.int32)
-        oh = (hi_c[..., None] == jj).astype(jnp.float32)  # [c, B, nhi]
-        rows = jnp.einsum(
-            "cbj,cjr->cbr", oh, win_c,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(hi_c.shape[0], b, 2 * t1, p_all)
-        oto = jnp.arange(2 * t1, dtype=jnp.int32)
+        hi_c, delta_c, win_c = args                       # [c,B] [c,6,B] [c,ng,R]
+        if fetch == "gather":
+            rows = jnp.take_along_axis(
+                win_c, hi_c[:, :, None], axis=1
+            ).reshape(hi_c.shape[0], b, w, p_all)
+        elif fetch == "stub_rows":
+            # benchmark-only: drop mask gen + selection, keep tap stage
+            rows = win_c[:, :1, : w * p_all].reshape(
+                hi_c.shape[0], 1, w, p_all
+            ) * jnp.ones((1, b, 1, 1), jnp.float32)
+        else:
+            jj = jnp.arange(ng, dtype=jnp.int32)
+            oh = (hi_c[..., None] == jj).astype(jnp.float32)  # [c, B, ng]
+            rows = jnp.einsum(
+                "cbj,cjr->cbr", oh, win_c,
+                precision=precision,
+            ).reshape(hi_c.shape[0], b, w, p_all)
+        oto = jnp.arange(w, dtype=jnp.int32)
         outs = []
         for f, (p0, p1) in enumerate(fam_planes):
             d = delta_c[:, f, :, None]                    # [c, B, 1]
-            m0 = (oto == d).astype(jnp.float32)           # [c, B, 2t1]
+            m0 = (oto == d).astype(jnp.float32)           # [c, B, w]
             m1 = (oto == d + 1).astype(jnp.float32)
-            seg = rows[..., p0:p1]                        # [c, B, 2t1, Pf]
+            seg = rows[..., p0:p1]                        # [c, B, w, Pf]
             # masked sum, not a dot: at most ONE nonzero term per output
-            # (exact under any lowering), and the [c*B]-batched tiny dots
-            # an einsum would emit never tile the MXU
+            # (exact under any lowering).  Two rejected alternatives,
+            # both measured on the v5e (benchmarks/exp_winfetch.py):
+            # a stacked broadcast-sum (rows[:,:,None]*m_all) materializes
+            # the [c,B,6,w,P] product (28.8 -> 43.1 ms), and a stacked
+            # "cbmt,cbtp->cbmp" HIGHEST einsum emits [c*B]-batched tiny
+            # dots that never tile the MXU (28.8 -> 143.4 ms).
             outs.append(jnp.sum(seg * m0[..., None], axis=2))
             outs.append(jnp.sum(seg * m1[..., None], axis=2))
         return tuple(outs)
@@ -175,7 +243,7 @@ def window_gather_taps(
             (
                 hi_p.reshape(nc, chunk, b),
                 delta_p.reshape(nc, chunk, 3, b),
-                win_p.reshape(nc, chunk, nhi, 2 * t1 * p_all),
+                win_p.reshape(nc, chunk, ng, w * p_all),
             ),
         )
         outs = [o.reshape(n + pad_n, b, -1)[:n] for o in outs]
@@ -189,14 +257,16 @@ def window_gather_taps(
     # band 0 can be valid (chainfetch tail_fix; the engine itself zeroes
     # these lanes, but the block_gather contract sees them)
     def shifted(ga, gb, pos, sh):
-        ga = jnp.moveaxis(_lshift(jnp.moveaxis(ga, 1, -1), sh), -1, 1)
-        gb = jnp.moveaxis(_lshift(jnp.moveaxis(gb, 1, -1), sh), -1, 1)
+        # the band axis is axis 1: shift it directly with a slice+concat
+        # (an earlier form moved the band axis to the minor dim and back
+        # just to reuse _lshift — four relayout passes over [N, B, 2C]
+        # tensors for nothing)
         ptail = pos[:, b - sh:]                           # [N, sh]
         i0 = jnp.floor(ptail).astype(jnp.int32)
         val = jnp.where(
             ((i0 + 1) == 0)[:, :, None], spec_planes[:, :1, :], 0.0)
-        gb = jnp.concatenate([gb[:, : b - sh], val], axis=1)
-        ga = jnp.concatenate([ga[:, : b - sh], jnp.zeros_like(val)], axis=1)
+        gb = jnp.concatenate([gb[:, sh:], val], axis=1)
+        ga = jnp.concatenate([ga[:, sh:], jnp.zeros_like(val)], axis=1)
         return ga, gb
 
     ga_us, gb_us = shifted(ga_ds, gb_ds, pos5[:, 3 * b: 4 * b], 1)

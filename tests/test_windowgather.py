@@ -45,8 +45,13 @@ def _weights(pos: jnp.ndarray, b: int):
     return ok0 * (1.0 - frac), ok1 * frac
 
 
+@pytest.mark.parametrize(
+    "fetch,geom",
+    [("einsum", None), ("gather", None), ("einsum", (8, 20)),
+     ("einsum", (8, 32)), ("einsum", (16, 32))],
+)
 @pytest.mark.parametrize("n", [3, 12])  # below and above the chunk size
-def test_window_gather_bit_identical_vs_block_gather(n):
+def test_window_gather_bit_identical_vs_block_gather(n, fetch, geom):
     rng = np.random.default_rng(7)
     c_n = 2
     t1 = window_t1(B, L)
@@ -82,7 +87,7 @@ def test_window_gather_bit_identical_vs_block_gather(n):
 
     ga5, gb5, gac, gbc = window_gather_taps(
         spec_j, prev_j, en_j, ib_j, pos5_j, jnp.asarray(c),
-        long_step=L, t1=t1, chunk=8)
+        long_step=L, t1=t1, chunk=8, fetch=fetch, geom=geom)
     w05, w15 = _weights(pos5_j, B)
     w0c, w1c = _weights(ib_j, B)
     five_w = np.asarray(ga5 * w05[..., None] + gb5 * w15[..., None])
