@@ -269,6 +269,41 @@ def _ola_emit(cfg: SpectralConfig, frames, tail, active, h: int):
     return emit, new_tail
 
 
+def _analyse_many(cfg: SpectralConfig, audios, ends, zero_head: int = 0):
+    """Batched analyses across the pool: [S, C, T] x [S, F] ends ->
+    [S, F, C, bands].  On TPU the frame fetch + windowing rides the
+    Pallas aligned-DMA kernel (ops/pallas/frames.py) — the vmapped
+    dynamic_slice fetch was 5.1 of the 10.0 ms analyses stage at N=1024
+    (benchmarks/exp_analyses.py), and the kernel is the measured winner
+    in the fast engine's fused step (engine/core.py:224-236).  The
+    fidelity block (5292) is not lane-divisible, so the kernel fetches
+    the next 128-multiple with the analysis window zero-extended — the
+    extra samples are exactly zeroed by the window, leaving the padded
+    frame bit-identical to the dynamic_slice form's (the kernel's
+    rotation matmul is a HIGHEST one-hot copy and its validity mask is
+    the same zeros-outside-[0, T) law; pinned bit-exact by
+    tests/test_pallas_frames.py::test_kernel_bit_exact_at_fidelity_block)."""
+    w, rot = _consts(cfg.block, cfg.interval, cfg.fft)
+    w = np.asarray(w).copy()
+    if zero_head:
+        w[:zero_head] = 0.0
+    if jax.default_backend() == "tpu":
+        from bauklank_tpu.ops.pallas.frames import gather_frames_windowed
+
+        blk = -(-cfg.block // 128) * 128
+        wp = np.zeros(blk, np.float32)
+        wp[: cfg.block] = w
+        fr = gather_frames_windowed(
+            audios, ends.astype(jnp.int32) - cfg.block, jnp.asarray(wp),
+            blk, False,
+        )                                         # [S, F, C, blk] windowed
+        padded = jnp.pad(fr, ((0, 0), (0, 0), (0, 0), (0, cfg.fft - blk)))
+        return mdft.mdft(padded) * _unit(rot)     # [S, F, C, bands]
+    return jax.vmap(
+        lambda au, en: analyse_frames(cfg, au, en, zero_head=zero_head)
+    )(audios, ends)
+
+
 def _analyse_cur_prev(cfg: SpectralConfig, audios, ends):
     """Batched cur/prev analyses for a pool chunk ([S, H] ends ->
     [H, S, C, bands] each), honoring the splitComputation mode: with split
@@ -277,14 +312,13 @@ def _analyse_cur_prev(cfg: SpectralConfig, audios, ends):
     h = ends.shape[1]
     if cfg.split:
         both = jnp.concatenate([ends, ends - cfg.interval], axis=1)  # [S, 2H]
-        specs = jax.vmap(lambda au, en: analyse_frames(cfg, au, en))(audios, both)
+        specs = _analyse_many(cfg, audios, both)
         cur = jnp.moveaxis(specs[:, :h], 1, 0)    # [H, S, C, bands]
         prev = jnp.moveaxis(specs[:, h:], 1, 0)
         return cur, prev
-    cur = jax.vmap(lambda au, en: analyse_frames(cfg, au, en))(audios, ends)
-    prev = jax.vmap(
-        lambda au, en: analyse_frames(cfg, au, en, zero_head=cfg.interval)
-    )(audios, ends - cfg.interval)
+    cur = _analyse_many(cfg, audios, ends)
+    prev = _analyse_many(cfg, audios, ends - cfg.interval,
+                         zero_head=cfg.interval)
     return jnp.moveaxis(cur, 1, 0), jnp.moveaxis(prev, 1, 0)
 
 

@@ -495,8 +495,19 @@ def _find_peaks_map_batched(
     n_peaks = jnp.sum(run_start.astype(jnp.int32), axis=1)      # [N]
     w = jnp.where(above, energy, 0.0)
 
-    cs = _comp_cumsum(jnp.stack([w, w * b_idx[None]], axis=-1), axis=1)
-    vals_cs = jnp.concatenate(cs, axis=-1)  # [N, B, 4] = (e, eb) hi | lo
+    # the boundary cumsum rides the SAME associative scan as the
+    # compensated (e, eb) pairs, as a third channel: TwoSum of exact
+    # integers (counts <= B < 2^24) keeps hi exact and lo zero, so the
+    # channel equals a plain int cumsum while costing one scan, not two
+    cs_hi, cs_lo = _comp_cumsum(
+        jnp.stack(
+            [w, w * b_idx[None], run_start.astype(jnp.float32)], axis=-1
+        ),
+        axis=1,
+    )
+    vals_cs = jnp.concatenate(
+        [cs_hi[..., :2], cs_lo[..., :2]], axis=-1
+    )  # [N, B, 4] = (e, eb) hi | lo
 
     # boundary compaction WITHOUT the two [N, B] sorts: boundary band
     # positions are monotone in run order, so the s-th start position is
@@ -510,14 +521,18 @@ def _find_peaks_map_batched(
     # valid outputs are bit-identical to the sort form (pinned by
     # tests/test_spectral.py's delegation paths + the golden matrix).
     t_sl = next((t for t in (64, 32, 16, 8) if slots % t == 0), t_blk)
-    c_start = jnp.cumsum(run_start.astype(jnp.int32), axis=1)
-    c_end = jnp.cumsum(run_end.astype(jnp.int32), axis=1)
+    c_start = cs_hi[..., 2].astype(jnp.int32)
+    # ends trail starts by exactly the one currently-open run:
+    # c_end[b] = c_start[b] - 1 iff band b sits inside a run that has
+    # not ended by b (above & ~run_end), else they are equal
+    c_end = c_start - (above & ~run_end).astype(jnp.int32)
     start_pos = _count_leq_blocked(c_start, slots, t_sl)
     end_pos = _count_leq_blocked(c_end, slots, t_sl)
     posb = jnp.concatenate(
         [end_pos, start_pos - 1], axis=1
     ).astype(jnp.float32)                                       # [N, 2*slots]
-    g0 = block_gather(vals_cs, posb, t=t_blk, chunk=8)          # [N, 2s, 4]
+    g0 = block_gather(
+        vals_cs, posb, t=t_blk, chunk=8, int_pos=True)          # [N, 2s, 4]
     ge, gs = g0[:, :slots], g0[:, slots:]
     sum_e = (ge[..., 0] - gs[..., 0]) + (ge[..., 2] - gs[..., 2])
     sum_eb = (ge[..., 1] - gs[..., 1]) + (ge[..., 3] - gs[..., 3])
@@ -555,7 +570,8 @@ def _find_peaks_map_batched(
     i_q = jnp.clip(idx, 0, cap)
     ranks = jnp.concatenate([i_p, i_q], axis=1).astype(jnp.float32)  # [N, 2B]
     vals = jnp.stack([center, out_bin], axis=-1)                # [N, s, 2]
-    g = block_gather(vals, ranks, t=t_blk, chunk=8)             # [N, 2B, 2]
+    g = block_gather(
+        vals, ranks, t=t_blk, chunk=8, int_pos=True)            # [N, 2B, 2]
     p_in, p_out = g[:, :bands, 0], g[:, :bands, 1]
     q_in, q_out = g[:, bands:, 0], g[:, bands:, 1]
     interior = (idx > 0) & (idx < n_peaks[:, None])

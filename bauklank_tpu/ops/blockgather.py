@@ -38,6 +38,7 @@ def block_gather(
     chunk: int = 16,
     mode: str = "highest",
     return_taps: bool = False,
+    int_pos: bool = False,
 ) -> jnp.ndarray:
     """Linear interpolation ``arrs[n, pos[n, k], p]`` with zeros outside
     [0, B) — exact `_get_fractional` semantics.  Returns [N, K, P], or
@@ -60,7 +61,13 @@ def block_gather(
     Selection sums have exactly one nonzero term per output row, which is
     what makes the split modes exact (benchmarks/exp_blockgather.py
     verifies bit-identity and times all three at the serving shape).
-    """
+
+    ``int_pos``: assert-free promise that every position is an exact
+    integer (the peaks map's boundary and rank lookups).  Then frac == 0
+    makes the upper-tap weight identically zero, so the second tap mask
+    and masked sum are skipped entirely — the combined result
+    ``ga * ok0`` is bit-identical to the general path (ga*1 + gb*0).
+    Incompatible with ``return_taps``."""
     n, b, p = arrs.shape
     k = pos.shape[1]
     assert b % t == 0, (b, t)
@@ -138,8 +145,10 @@ def block_gather(
         rows = _select_rows(blk_c, arr_o)
         oto = jnp.arange(2 * t, dtype=jnp.int32)
         m0 = (oto == off_c[..., None]).astype(jnp.float32)
-        m1 = (oto == (off_c + 1)[..., None]).astype(jnp.float32)
         ga = jnp.sum(rows * m0[..., None], axis=2)     # [c, K, P] copies
+        if int_pos:
+            return (ga,)
+        m1 = (oto == (off_c + 1)[..., None]).astype(jnp.float32)
         gb = jnp.sum(rows * m1[..., None], axis=2)
         return ga, gb
 
@@ -152,7 +161,7 @@ def block_gather(
             return jnp.pad(x, ((0, pad_n),) + ((0, 0),) * (x.ndim - 1))
         blk_p, off_p, arr_p = map(padn, (blk, off, arr_over))
         shape = ((n + pad_n) // chunk, chunk)
-        ga, gb = jax.lax.map(
+        taps = jax.lax.map(
             taps_chunk,
             (
                 blk_p.reshape(shape + (k,)),
@@ -160,12 +169,15 @@ def block_gather(
                 arr_p.reshape(shape + (nblk, arr_over.shape[-1])),
             ),
         )
-        ga = ga.reshape(n + pad_n, k, p)[:n]
-        gb = gb.reshape(n + pad_n, k, p)[:n]
+        taps = [x.reshape(n + pad_n, k, p)[:n] for x in taps]
     else:
-        ga, gb = taps_chunk((blk, off, arr_over))
+        taps = list(taps_chunk((blk, off, arr_over)))
+    ga, gb = (taps[0], None) if int_pos else taps
     if return_taps:
+        assert not int_pos
         return ga, gb, w0, w1
+    if int_pos:
+        return ga * w0[..., None]      # w1 = ok1*frac == 0 identically
     return ga * w0[..., None] + gb * w1[..., None]
 
 

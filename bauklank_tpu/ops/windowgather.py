@@ -219,7 +219,6 @@ def window_gather_taps(
         for f, (p0, p1) in enumerate(fam_planes):
             d = delta_c[:, f, :, None]                    # [c, B, 1]
             m0 = (oto == d).astype(jnp.float32)           # [c, B, w]
-            m1 = (oto == d + 1).astype(jnp.float32)
             seg = rows[..., p0:p1]                        # [c, B, w, Pf]
             # masked sum, not a dot: at most ONE nonzero term per output
             # (exact under any lowering).  Two rejected alternatives,
@@ -229,7 +228,21 @@ def window_gather_taps(
             # "cbmt,cbtp->cbmp" HIGHEST einsum emits [c*B]-batched tiny
             # dots that never tile the MXU (28.8 -> 143.4 ms).
             outs.append(jnp.sum(seg * m0[..., None], axis=2))
-            outs.append(jnp.sum(seg * m1[..., None], axis=2))
+            # upper tap from the SAME mask against a one-shifted payload
+            # slice (halves mask generation): d <= w-2 by the geometry
+            # bound, so the shifted range covers every in-window match.
+            # The one reachable out-of-window case is d == -1 (position
+            # in (-1, 0): only the upper tap at band 0 is valid) — patch
+            # it with an exact 0/1 copy; both terms are exact under FMA
+            # contraction because whenever one is nonzero the other is
+            # exactly zero.
+            gb = jnp.sum(
+                seg[:, :, 1:, :] * m0[:, :, : w - 1, None], axis=2)
+            gb = gb + (
+                (d[..., 0] == -1).astype(jnp.float32)[..., None]
+                * seg[:, :, 0, :]
+            )
+            outs.append(gb)
         return tuple(outs)
 
     if n > chunk:

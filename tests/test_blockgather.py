@@ -72,6 +72,21 @@ def test_block_gather_integer_positions_copy_rows_exactly():
     np.testing.assert_array_equal(got, arrs)
 
 
+@pytest.mark.parametrize("n", [3, 40])  # below and above the chunk size
+def test_block_gather_int_pos_mode_matches_general(n):
+    """int_pos=True (peaks-map boundary/rank lookups): bit-identical to
+    the general path over integer positions incl. negative, == B, and
+    past-B sentinels (all of which must come back exactly zero)."""
+    rng = np.random.default_rng(23)
+    arrs = rng.standard_normal((n, B, 3)).astype(np.float32)
+    pos = rng.integers(-2, B + 2, (n, B)).astype(np.float32)
+    a, pj = jnp.asarray(arrs), jnp.asarray(pos)
+    got = np.asarray(block_gather(a, pj, t=T, chunk=16, int_pos=True))
+    ref = np.asarray(block_gather(a, pj, t=T, chunk=16))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got, _oracle(arrs, pos))
+
+
 def test_block_gather_out_of_range_is_zero():
     rng = np.random.default_rng(13)
     arrs = rng.standard_normal((2, B, 1)).astype(np.float32) + 5.0
