@@ -25,6 +25,9 @@ run bench_fused      python bench.py
 run bench_unfused    env BAUKLANK_FUSED_MDFT=0 python bench.py
 run profile_fidelity python benchmarks/profile_fidelity.py 6
 run profile_chain    python benchmarks/profile_chain_inputs.py 64 8
+run profile_hoisted  python benchmarks/profile_hoisted.py 128 8 det
+run winfetch         python benchmarks/exp_winfetch.py 1024
+run analyses         python benchmarks/exp_analyses.py 128 8
 run golden_tpu       python benchmarks/check_tpu_golden.py
 run bench_fidelity   python benchmarks/bench_fidelity.py --record
 run fidelity_voice   python benchmarks/bench_fidelity_voice.py 200
