@@ -287,10 +287,13 @@ def _analyse_many(cfg: SpectralConfig, audios, ends, zero_head: int = 0):
     w = np.asarray(w).copy()
     if zero_head:
         w[:zero_head] = 0.0
-    if jax.default_backend() == "tpu":
+    blk = -(-cfg.block // 128) * 128
+    # blk <= fft holds for every serving-range block (ffts >= 1536 on the
+    # 2^a*{1,3,5} grid are 128-divisible), but a tiny custom block can
+    # make the lane-padded fetch wider than the fft — fall back then
+    if jax.default_backend() == "tpu" and blk <= cfg.fft:
         from bauklank_tpu.ops.pallas.frames import gather_frames_windowed
 
-        blk = -(-cfg.block // 128) * 128
         wp = np.zeros(blk, np.float32)
         wp[: cfg.block] = w
         fr = gather_frames_windowed(

@@ -439,11 +439,19 @@ def _count_leq_blocked(u: jnp.ndarray, out_len: int, t: int,
         return jnp.round(coarse[:, :, None] + within).astype(jnp.int32).reshape(
             kb_c.shape[0], out_len)
 
-    if n > chunk and n % chunk == 0:
+    if n > chunk:
+        # pad N up to a chunk multiple (pad rows use u = out_len, which
+        # counts nowhere) — chunking must never silently disable: the
+        # full [N, src, nblk] masks are the documented transient hazard
+        # (ADVICE r3 / ops/blockgather.py)
+        pad_n = (-n) % chunk
+        kbp = jnp.pad(kb, ((0, pad_n), (0, 0)),
+                      constant_values=out_len // t)
+        rbp = jnp.pad(rb, ((0, pad_n), (0, 0)))
         return jax.lax.map(
             count_chunk,
-            (kb.reshape(-1, chunk, src), rb.reshape(-1, chunk, src)),
-        ).reshape(n, out_len)
+            (kbp.reshape(-1, chunk, src), rbp.reshape(-1, chunk, src)),
+        ).reshape(n + pad_n, out_len)[:n]
     return count_chunk((kb, rb))
 
 

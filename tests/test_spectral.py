@@ -444,3 +444,22 @@ def test_node_fidelity_splitoff_matches_offline():
         split_computation=False,
     )
     assert np.abs(got - ref).max() < 1e-4, np.abs(got - ref).max()
+
+
+@pytest.mark.parametrize("n", [8, 18, 32])  # direct, padded-chunk, exact-chunk
+def test_count_leq_blocked_matches_searchsorted(n):
+    """The MXU 0/1 count (peaks-map searchsorted + sort-free boundary
+    compaction) must equal numpy's searchsorted-right for every batch
+    residue — including N not a multiple of the chunk, where the inputs
+    pad up instead of silently materializing full-batch masks."""
+    from bauklank_tpu.engine.spectral import _count_leq_blocked
+
+    rng = np.random.default_rng(31)
+    out_len, t, src = 192, 16, 301
+    u = rng.integers(0, out_len + 1, (n, src)).astype(np.int32)
+    got = np.asarray(_count_leq_blocked(jnp.asarray(u), out_len, t, chunk=16))
+    grid = np.arange(out_len)
+    want = np.stack([
+        np.searchsorted(np.sort(row), grid, side="right") for row in u
+    ])
+    np.testing.assert_array_equal(got, want)
