@@ -25,6 +25,8 @@ This module reformulates the gather exactly, with no gather/scatter ops:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +41,7 @@ def block_gather(
     mode: str = "highest",
     return_taps: bool = False,
     int_pos: bool = False,
+    layout: str | None = None,
 ) -> jnp.ndarray:
     """Linear interpolation ``arrs[n, pos[n, k], p]`` with zeros outside
     [0, B) — exact `_get_fractional` semantics.  Returns [N, K, P], or
@@ -67,7 +70,27 @@ def block_gather(
     makes the upper-tap weight identically zero, so the second tap mask
     and masked sum are skipped entirely — the combined result
     ``ga * ok0`` is bit-identical to the general path (ga*1 + gb*0).
-    Incompatible with ``return_taps``."""
+    Incompatible with ``return_taps``.
+
+    ``layout``: minor-axis layout of the chunk-body tensors (None -> the
+    ``BAUKLANK_BGLAYOUT`` env var).  ``kmaj`` is the original form: tap
+    masks [c, K, 2t] and rows [c, K, 2t, P] keep 2t (16 at t=8) or P
+    (2-4) on the minor axis, filling <=16/128 of each VPU lane tile.
+    ``kmin`` emits rows from the selection einsum as [c, 2t*P, K] and
+    builds masks as [c, 2t, K] so the K axis (thousands) stays
+    lane-dense through every mask/masked-sum.  Identical 0/1 selection
+    math either way.  MEASURED on the v5e at [N=1024, B=3072, K=5B,
+    P=4] t=8/chunk=8 (benchmarks/exp_blockgather.py): general path a
+    WASH (30.6 vs 30.1 ms — Mosaic already retiles the narrow-minor
+    sums, same finding as windowgather's einsum_bm), int_pos path a
+    ~6% WIN (13.2 vs 14.0 ms at the peaks rank-lookup shape K=2B P=2 —
+    only one masked-sum there, so the kmin moveaxis tax is paid once).
+    ``kmaj`` stays the default; flip per-callsite only with an
+    end-to-end measurement."""
+    if layout is None:
+        layout = os.environ.get("BAUKLANK_BGLAYOUT", "kmaj")
+    if mode != "highest":
+        layout = "kmaj"  # the split modes' plane reassembly is K-major
     n, b, p = arrs.shape
     k = pos.shape[1]
     assert b % t == 0, (b, t)
@@ -142,8 +165,26 @@ def block_gather(
         ops happen ONCE at top level, structurally identical to
         `_get_fractional`'s combine."""
         blk_c, off_c, arr_o = args
-        rows = _select_rows(blk_c, arr_o)
         oto = jnp.arange(2 * t, dtype=jnp.int32)
+        if layout == "kmin":
+            c = blk_c.shape[0]
+            oh = (blk_c[..., None] == jnp.arange(nblk)).astype(jnp.float32)
+            rows_t = jnp.einsum(
+                "nkj,njr->nrk", oh, arr_o,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(c, 2 * t, p, k)                  # [c, 2t, P, K]
+            m0 = (oto[None, :, None] == off_c[:, None, :]).astype(
+                jnp.float32)                           # [c, 2t, K]
+            ga = jnp.moveaxis(
+                jnp.sum(rows_t * m0[:, :, None, :], axis=1), 1, 2)
+            if int_pos:
+                return (ga,)
+            m1 = (oto[None, :, None] == (off_c + 1)[:, None, :]).astype(
+                jnp.float32)
+            gb = jnp.moveaxis(
+                jnp.sum(rows_t * m1[:, :, None, :], axis=1), 1, 2)
+            return ga, gb
+        rows = _select_rows(blk_c, arr_o)
         m0 = (oto == off_c[..., None]).astype(jnp.float32)
         ga = jnp.sum(rows * m0[..., None], axis=2)     # [c, K, P] copies
         if int_pos:

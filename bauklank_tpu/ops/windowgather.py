@@ -130,6 +130,31 @@ def window_gather_taps(
         bit-exactness is structural; no [B, ng] mask is ever built.
         MEASURED NEGATIVE on the v5e anyway (50.2 vs 35.9 ms marginal
         at S=128 H=8) — kept as a tested mode.
+      - "einsum_m1": the einsum fetch with EXPLICIT upper-tap masks
+        (``m1 = oto == d+1``) instead of the shifted-slice upper-tap
+        form — all six masked-sum reductions then share one index map
+        over ``rows`` so XLA can multi-output-fuse them into a single
+        traversal of the materialized rows tensor (see taps_chunk).
+        MEASURED WASH on the v5e (benchmarks/exp_winfetch.py, N=1024:
+        24.75 vs 24.92 ms at (8,20), ties at (8,24)/(16,32) too) —
+        so the tap stage is NOT bound by re-reading rows 6x; together
+        with the stub (rows stubbed still costs 13.1 ms) this pins the
+        residual as the mask GENERATION + masked-sum VPU arithmetic
+        itself.  Kept as a tested mode.
+      - "einsum_bm": the same one-hot einsum but emitting the BAND-MINOR
+        layout ``[c, w*P, B]`` straight off the MXU, with the tap masks
+        built as [c, w, B] and the masked sums reducing over the MAJOR
+        w axis.  Hypothesis: the band-major form keeps w (20) or P
+        (4-10) on the minor axis, filling <=20/128 of each VPU lane
+        tile, so a lane-dense band-minor layout should cut the
+        VPU-bound tap stage.  MEASURED WASH on the v5e
+        (benchmarks/exp_winfetch.py, N=1024: 25.4 vs 24.8 ms at (8,20))
+        — Mosaic evidently already retiles the narrow-minor masked sums
+        well — and the larger-g geometries the layout was meant to
+        unlock REGRESS monotonically (27.6 ms at (32,44), 45.7 at
+        (64,76)): the einsum MAC saving never materializes because the
+        fetch is not MAC-bound at these shapes.  Kept as a tested mode;
+        band-major stays the default.
 
     ``geom = (g, w)`` sets the window-block stride g and strip width w
     (None -> the ``BAUKLANK_WINGEOM`` env var "g,w", default
@@ -198,6 +223,32 @@ def window_gather_taps(
         """PURE 0/1 selection (chunked-gather FMA hazard: no weight may
         touch this body — ops/blockgather.py taps_chunk)."""
         hi_c, delta_c, win_c = args                       # [c,B] [c,6,B] [c,ng,R]
+        if fetch == "einsum_bm":
+            # band-minor: rows come off the MXU as [c, R, B] and every
+            # mask/masked-sum keeps B on the lane axis (the band-major
+            # form's [c, B, w] masks fill <=w/128 of each lane tile)
+            jj = jnp.arange(ng, dtype=jnp.int32)
+            oh = (hi_c[..., None] == jj).astype(jnp.float32)  # [c, B, ng]
+            rows_t = jnp.einsum(
+                "cbj,cjr->crb", oh, win_c, precision=precision,
+            ).reshape(hi_c.shape[0], w, p_all, b)         # [c, w, P, B]
+            oto = jnp.arange(w, dtype=jnp.int32)
+            outs = []
+            for f, (p0, p1) in enumerate(fam_planes):
+                d = delta_c[:, f, :]                      # [c, B]
+                m0 = (oto[None, :, None] == d[:, None, :]).astype(
+                    jnp.float32)                          # [c, w, B]
+                seg = rows_t[:, :, p0:p1, :]              # [c, w, Pf, B]
+                ga = jnp.sum(seg * m0[:, :, None, :], axis=1)  # [c, Pf, B]
+                gb = jnp.sum(
+                    seg[:, 1:, :, :] * m0[:, : w - 1, None, :], axis=1)
+                gb = gb + (
+                    (d == -1).astype(jnp.float32)[:, None, :]
+                    * seg[:, 0, :, :]
+                )
+                outs.append(jnp.moveaxis(ga, 1, 2))       # [c, B, Pf]
+                outs.append(jnp.moveaxis(gb, 1, 2))
+            return tuple(outs)
         if fetch == "gather":
             rows = jnp.take_along_axis(
                 win_c, hi_c[:, :, None], axis=1
@@ -215,6 +266,24 @@ def window_gather_taps(
                 precision=precision,
             ).reshape(hi_c.shape[0], b, w, p_all)
         oto = jnp.arange(w, dtype=jnp.int32)
+        if fetch == "einsum_m1":
+            # explicit upper-tap masks instead of the shifted-slice form:
+            # every one of the six masked-sum reductions then shares the
+            # SAME index map over `rows`, letting XLA multi-output-fuse
+            # them into one traversal.  The d == -1 patch disappears:
+            # m1 = (oto == d+1) hits band 0 exactly there, and d <= w-2
+            # keeps d+1 in-window.  Both masks are 0/1 so bit-exactness
+            # is unchanged.  MEASURED WASH (module docstring) — the tap
+            # stage is not re-read-bound.
+            outs = []
+            for f, (p0, p1) in enumerate(fam_planes):
+                d = delta_c[:, f, :, None]                # [c, B, 1]
+                m0 = (oto == d).astype(jnp.float32)       # [c, B, w]
+                m1 = (oto == d + 1).astype(jnp.float32)
+                seg = rows[..., p0:p1]                    # [c, B, w, Pf]
+                outs.append(jnp.sum(seg * m0[..., None], axis=2))
+                outs.append(jnp.sum(seg * m1[..., None], axis=2))
+            return tuple(outs)
         outs = []
         for f, (p0, p1) in enumerate(fam_planes):
             d = delta_c[:, f, :, None]                    # [c, B, 1]

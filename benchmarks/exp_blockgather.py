@@ -106,6 +106,35 @@ def main():
         same = np.array_equal(np.asarray(out), ref)
         print(f"{'':52s}   bit-identical: {same}")
 
+    # K-minor chunk-body layout (windowgather einsum_bm idea) at the
+    # production t=8/chunk=8 point, vs the K-major default
+    ref8 = None
+    for layout in ("kmaj", "kmin"):
+        fn = jax.jit(functools.partial(
+            blockgather.block_gather, t=8, chunk=8, layout=layout))
+        out, _ = timeit(f"HIGHEST t=8 chunk=8 layout={layout}", fn, arrs, pos)
+        if ref8 is None:
+            ref8 = np.asarray(out)
+        else:
+            same = np.array_equal(np.asarray(out), ref8)
+            print(f"{'':52s}   bit-identical: {same}")
+
+    # the peaks-map rank-lookup shape: int_pos, K=2B, P=2
+    vals = jnp.asarray(rng.standard_normal((n, b_n, 2)).astype(np.float32))
+    ranks = jnp.asarray(
+        rng.integers(0, b_n, (n, 2 * b_n)).astype(np.float32))
+    refp = None
+    for layout in ("kmaj", "kmin"):
+        fn = jax.jit(functools.partial(
+            blockgather.block_gather, t=8, chunk=8, int_pos=True,
+            layout=layout))
+        out, _ = timeit(f"int_pos t=8 chunk=8 layout={layout}", fn, vals, ranks)
+        if refp is None:
+            refp = np.asarray(out)
+        else:
+            same = np.array_equal(np.asarray(out), refp)
+            print(f"{'':52s}   bit-identical: {same}")
+
 
 if __name__ == "__main__":
     main()

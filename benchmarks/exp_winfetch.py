@@ -95,6 +95,25 @@ def main():
                 chunk=chunk, geom=geom)
             timeit(f"geom={geom} chunk={chunk}", fn, *args)
 
+    print("--- explicit-m1 masks (einsum_m1): one fused rows pass? ---")
+    for geom in ((8, 20), (8, 24), (16, 32)):
+        for chunk in (8, 16):
+            fn = functools.partial(
+                wg.window_gather_taps, long_step=long_step, t1=t1,
+                chunk=chunk, geom=geom, fetch="einsum_m1")
+            timeit(f"m1 geom={geom} chunk={chunk}", fn, *args)
+
+    print("--- band-minor layout (einsum_bm) geometry sweep ---")
+    # with the tap masked-sums lane-dense the VPU cost stops scaling in w,
+    # so larger g (fewer selection MACs, ~ w/g) should now pay
+    for geom in ((8, 20), (16, 32), (24, 36), (32, 44), (48, 60), (64, 76),
+                 (96, 108)):
+        for chunk in (8, 16):
+            fn = functools.partial(
+                wg.window_gather_taps, long_step=long_step, t1=t1,
+                chunk=chunk, geom=geom, fetch="einsum_bm")
+            timeit(f"bm geom={geom} chunk={chunk}", fn, *args)
+
     print("--- selection precision ladder (einsum, chunk=8) ---")
     for prec in ("HIGHEST", "HIGH", "DEFAULT"):
         fn = functools.partial(

@@ -48,17 +48,18 @@ def _adversarial_positions(rng, n, k):
     return cases
 
 
+@pytest.mark.parametrize("layout", ["kmaj", "kmin"])
 @pytest.mark.parametrize("n,k,p,chunk", [
     (4, 24, 2, 16),    # unchunked (n <= chunk)
     (36, 24, 2, 16),   # chunked with remainder (36 % 16 != 0 — ADVICE r3 pad path)
     (32, 24, 1, 16),   # chunked exact multiple
 ])
-def test_block_gather_bit_exact_vs_get_fractional(n, k, p, chunk):
+def test_block_gather_bit_exact_vs_get_fractional(n, k, p, chunk, layout):
     rng = np.random.default_rng(7)
     arrs = rng.standard_normal((n, B, p)).astype(np.float32)
     pos = _adversarial_positions(rng, n, k)
     got = np.asarray(block_gather(jnp.asarray(arrs), jnp.asarray(pos),
-                                  t=T, chunk=chunk))
+                                  t=T, chunk=chunk, layout=layout))
     np.testing.assert_array_equal(got, _oracle(arrs, pos))
 
 
@@ -72,8 +73,9 @@ def test_block_gather_integer_positions_copy_rows_exactly():
     np.testing.assert_array_equal(got, arrs)
 
 
+@pytest.mark.parametrize("layout", ["kmaj", "kmin"])
 @pytest.mark.parametrize("n", [3, 40])  # below and above the chunk size
-def test_block_gather_int_pos_mode_matches_general(n):
+def test_block_gather_int_pos_mode_matches_general(n, layout):
     """int_pos=True (peaks-map boundary/rank lookups): bit-identical to
     the general path over integer positions incl. negative, == B, and
     past-B sentinels (all of which must come back exactly zero)."""
@@ -81,7 +83,8 @@ def test_block_gather_int_pos_mode_matches_general(n):
     arrs = rng.standard_normal((n, B, 3)).astype(np.float32)
     pos = rng.integers(-2, B + 2, (n, B)).astype(np.float32)
     a, pj = jnp.asarray(arrs), jnp.asarray(pos)
-    got = np.asarray(block_gather(a, pj, t=T, chunk=16, int_pos=True))
+    got = np.asarray(block_gather(a, pj, t=T, chunk=16, int_pos=True,
+                                  layout=layout))
     ref = np.asarray(block_gather(a, pj, t=T, chunk=16))
     np.testing.assert_array_equal(got, ref)
     np.testing.assert_array_equal(got, _oracle(arrs, pos))

@@ -48,7 +48,10 @@ def _weights(pos: jnp.ndarray, b: int):
 @pytest.mark.parametrize(
     "fetch,geom",
     [("einsum", None), ("gather", None), ("einsum", (8, 20)),
-     ("einsum", (8, 32)), ("einsum", (16, 32))],
+     ("einsum", (8, 32)), ("einsum", (16, 32)), ("einsum_bm", None),
+     ("einsum_bm", (8, 20)), ("einsum_bm", (16, 32)),
+     ("einsum_bm", (32, 44)), ("einsum_bm", (64, 76)),
+     ("einsum_m1", None), ("einsum_m1", (8, 20)), ("einsum_m1", (16, 32))],
 )
 @pytest.mark.parametrize("n", [3, 12])  # below and above the chunk size
 def test_window_gather_bit_identical_vs_block_gather(n, fetch, geom):
