@@ -104,6 +104,7 @@ def window_gather_taps(
     fetch: str | None = None,
     precision=None,
     geom: tuple[int, int] | None = None,
+    geom2: tuple[int, int] | None = None,
 ):
     """Uncombined taps for the five-family and comb gathers, in the
     exact layouts `_hop_inputs_hoisted` consumes:
@@ -141,6 +142,28 @@ def window_gather_taps(
         with the stub (rows stubbed still costs 13.1 ms) this pins the
         residual as the mask GENERATION + masked-sum VPU arithmetic
         itself.  Kept as a tested mode.
+      - "einsum2": TWO-LEVEL strip selection — level 1 fetches one
+        nstrip-block coarse strip per (example, g2-band block) anchored
+        at the block's min anchor; level 2 picks each band's w-wide
+        sub-strip with a one-hot over the ~nstrip-2 8-aligned offsets.
+        Selection MACs and mask compares both drop ~20x vs the global
+        [c, B, ng] one-hot.  Exact for every input: an integer guard
+        (max block-relative strip offset <= nstrip-3 over the batch)
+        falls back to the single-level fetch whenever a pathological
+        map exceeds the strip — and the peaks map provably keeps the
+        anchor slope within [0.25, 2.5] for |semitones| <= 12, so the
+        BASELINE matrix always takes the two-level branch (see the
+        in-function comment).  ``geom2 = (g2, nstrip)`` (env
+        ``BAUKLANK_WIN2GEOM``, default (32, 16)).  MEASURED NEGATIVE
+        on the v5e (benchmarks/exp_winfetch.py, N=1024: 47.8 ms at
+        (32,16), 37.2 at (64,24), 99.2 at (16,16) vs the single-level
+        24.9): the level-2 einsum is [c*nb]-batched [g2,no]x[no,w*P]
+        dots with a K=no<=21 contraction that never tiles the MXU —
+        the same catastrophe as the stacked-mask HIGHEST einsum above
+        — while the single-level form's K=ng=384 contraction is
+        MXU-sweet, making its 20x "wasted" MACs nearly free.  MAC
+        count is the wrong objective on this hardware; contraction
+        depth is the right one.  Kept as a tested mode.
       - "einsum_bm": the same one-hot einsum but emitting the BAND-MINOR
         layout ``[c, w*P, B]`` straight off the MXU, with the tap masks
         built as [c, w, B] and the masked sums reducing over the MAJOR
@@ -190,12 +213,6 @@ def window_gather_taps(
     c = step[:, None]                                     # [N, 1]
 
     payload = jnp.concatenate([spec_planes, prev_planes, energy], axis=2)
-    padded = jnp.pad(payload, ((0, 0), (0, ncop * g), (0, 0)))
-    copies = [
-        padded[:, k * g: k * g + b].reshape(n, ng, g, p_all)
-        for k in range(ncop)
-    ]
-    win = jnp.concatenate(copies, axis=2)[:, :, :w].reshape(n, ng, w * p_all)
 
     # window anchor: the lowest family floor is floor(input_bin - L*c)
     anchor = jnp.clip(
@@ -218,6 +235,175 @@ def window_gather_taps(
     delta = jnp.stack(deltas, axis=1)                     # [N, 3, B] int32
 
     fam_planes = ((0, p_all), (0, p_spec), (0, p_spec))
+
+    def _finish(outs):
+        """Shared tail: us/ul taps are lane shifts of down_s/down_l taps
+        (positions equal by construction, module docstring); the last
+        ``sh`` lanes have no k+sh source — their positions sit below 0,
+        where only an upper tap at band 0 can be valid (chainfetch
+        tail_fix; the engine itself zeroes these lanes, but the
+        block_gather contract sees them).  The band axis is axis 1:
+        shift it directly with slice+concat (an earlier form moved the
+        band axis to the minor dim and back just to reuse _lshift —
+        four relayout passes over [N, B, 2C] tensors for nothing)."""
+        ga_ib, gb_ib, ga_ds, gb_ds, ga_dl, gb_dl = outs
+
+        def shifted(ga, gb, pos, sh):
+            ptail = pos[:, b - sh:]                       # [N, sh]
+            i0 = jnp.floor(ptail).astype(jnp.int32)
+            val = jnp.where(
+                ((i0 + 1) == 0)[:, :, None], spec_planes[:, :1, :], 0.0)
+            gb = jnp.concatenate([gb[:, sh:], val], axis=1)
+            ga = jnp.concatenate([ga[:, sh:], jnp.zeros_like(val)], axis=1)
+            return ga, gb
+
+        ga_us, gb_us = shifted(ga_ds, gb_ds, pos5[:, 3 * b: 4 * b], 1)
+        ga_ul, gb_ul = shifted(ga_dl, gb_dl, pos5[:, 4 * b:], long_step)
+        ga5 = jnp.concatenate(
+            [ga_ib[..., :p_spec], ga_ds, ga_dl, ga_us, ga_ul], axis=1)
+        gb5 = jnp.concatenate(
+            [gb_ib[..., :p_spec], gb_ds, gb_dl, gb_us, gb_ul], axis=1)
+        gac, gbc = ga_ib[..., p_spec:], gb_ib[..., p_spec:]
+        return ga5, gb5, gac, gbc
+
+    def _tap_outs(rows, delta_c):
+        """The PURE 0/1 tap stage shared by the einsum/gather/einsum2
+        fetches: per family a lower-tap mask + the upper tap from the
+        SAME mask against a one-shifted payload slice (halves mask
+        generation; d <= w-2 by the geometry bound keeps the shifted
+        range covering every in-window match; the one reachable
+        out-of-window case d == -1 — position in (-1, 0), only an
+        upper tap at band 0 — is patched with an exact 0/1 copy, and
+        both terms are exact under FMA contraction because whenever one
+        is nonzero the other is exactly zero).  A masked sum, not a
+        dot: at most ONE nonzero term per output, exact under any
+        lowering (chunked-gather FMA hazard: no weight in here).  Two
+        rejected alternatives, both measured on the v5e
+        (benchmarks/exp_winfetch.py): a stacked broadcast-sum
+        (rows[:,:,None]*m_all) materializes the [c,B,6,w,P] product
+        (28.8 -> 43.1 ms), and a stacked "cbmt,cbtp->cbmp" HIGHEST
+        einsum emits [c*B]-batched tiny dots that never tile the MXU
+        (28.8 -> 143.4 ms)."""
+        oto = jnp.arange(w, dtype=jnp.int32)
+        outs = []
+        for f, (p0, p1) in enumerate(fam_planes):
+            d = delta_c[:, f, :, None]                    # [c, B, 1]
+            m0 = (oto == d).astype(jnp.float32)           # [c, B, w]
+            seg = rows[..., p0:p1]                        # [c, B, w, Pf]
+            outs.append(jnp.sum(seg * m0[..., None], axis=2))
+            gb = jnp.sum(
+                seg[:, :, 1:, :] * m0[:, :, : w - 1, None], axis=2)
+            gb = gb + (
+                (d[..., 0] == -1).astype(jnp.float32)[..., None]
+                * seg[:, :, 0, :]
+            )
+            outs.append(gb)
+        return tuple(outs)
+
+    if fetch == "einsum2":
+        # TWO-LEVEL strip selection: the [c, B, ng] one-hot + its einsum
+        # are the dominant non-tap cost of the default fetch (~12 of
+        # 24.9 ms at N=1024 on the v5e; benchmarks/exp_winfetch.py
+        # stubs/ladder).  Bands in a g2-wide output block have nearby
+        # anchors whenever the time->frequency map's local slope is
+        # moderate — and the peaks map PROVABLY bounds the anchor slope
+        # to [0.25, 2.5] for mult in [0.5, 2] (the BASELINE +-12
+        # semitone range): interior gradients are 1 + 6t(1-t)*(chord-1)
+        # with chord slopes in the map-slope hull [min(1,1/mult),
+        # max(1,1/mult)], exterior regions are pure translation
+        # (engine/spectral._find_peaks_map_batched).  So: level 1
+        # selects ONE nstrip-block coarse strip per (example, band
+        # block) anchored at the block's min anchor (one-hot over ng8
+        # raw 8-band blocks, but only B/g2 rows); level 2 picks each
+        # band's w-wide sub-strip with a one-hot over nstrip-2 8-aligned
+        # offsets.  Selection MACs and mask compares both drop ~20x.
+        # An EXACT integer guard (max fbrel <= nstrip-3, checked over
+        # the whole batch) falls back to the single-level fetch for
+        # pathological maps (|semitones| > 12 can exceed any fixed
+        # strip), so the mode is exact for every input by construction.
+        if geom2 is None:
+            env2 = os.environ.get("BAUKLANK_WIN2GEOM", "")
+            geom2 = (tuple(int(x) for x in env2.split(","))
+                     if env2 else (32, 16))
+        g2, nstrip = geom2
+        w = 2 * long_step + 10                  # g'=8 sub-strips, w=20
+        if b % g2 or b % 8 or nstrip < -(-w // 8) + 1:
+            return window_gather_taps(
+                spec_planes, prev_planes, energy, input_bin, pos5, step,
+                long_step=long_step, t1=t1, chunk=chunk, fetch="einsum",
+                precision=precision, geom=(8, w) if b % 8 == 0 else None)
+        nb = b // g2
+        ng8 = b // 8
+        anc_b = anchor.reshape(n, nb, g2)
+        s0 = jnp.min(anc_b, axis=2) // 8                  # [N, nb]
+        fbrel = (anc_b // 8 - s0[:, :, None]).reshape(n, b)
+        ok = jnp.max(fbrel) <= nstrip - (w + 7) // 8      # exact int guard
+        # deltas relative to the g'=8 strip start (hi8*8) — identical to
+        # the single-level g=8 form's, so the tap stage is unchanged
+        delta8 = jnp.stack(
+            [jnp.floor(p).astype(jnp.int32) - (anchor // 8) * 8
+             for p in pos_f], axis=1)                     # [N, 3, B]
+        pay_p = jnp.pad(payload, ((0, 0), (0, nstrip * 8), (0, 0)))
+
+        def taps2_chunk(args):
+            """PURE 0/1 two-level selection + the shared tap stage."""
+            s0_c, fb_c, delta_c, pay_c = args
+            cc = s0_c.shape[0]
+            raw = pay_c.reshape(cc, ng8 + nstrip, 8 * p_all)
+            jj = jnp.arange(ng8, dtype=jnp.int32)
+            oh1 = (s0_c[..., None] == jj).astype(jnp.float32)  # [c, nb, ng8]
+            strip = jnp.concatenate(
+                [jnp.einsum("cna,car->cnr", oh1, raw[:, j: j + ng8],
+                            precision=precision)
+                 for j in range(nstrip)], axis=2)         # [c, nb, ns*8*P]
+            slide = jnp.stack(
+                [strip[:, :, 8 * o * p_all: (8 * o + w) * p_all]
+                 for o in range(nstrip - (w + 7) // 8 + 1)],
+                axis=2)                                   # [c, nb, no, w*P]
+            oo = jnp.arange(slide.shape[2], dtype=jnp.int32)
+            oh2 = (fb_c.reshape(cc, nb, g2)[..., None] == oo).astype(
+                jnp.float32)                              # [c, nb, g2, no]
+            rows = jnp.einsum(
+                "cnbo,cnor->cnbr", oh2, slide, precision=precision,
+            ).reshape(cc, b, w, p_all)
+            return _tap_outs(rows, delta_c)
+
+        def _two(_):
+            if n > chunk:
+                pad_n = (-n) % chunk
+                def padn(x):
+                    return jnp.pad(
+                        x, ((0, pad_n),) + ((0, 0),) * (x.ndim - 1))
+                s0_p, fb_p, d_p, p_p = map(padn, (s0, fbrel, delta8, pay_p))
+                nc = (n + pad_n) // chunk
+                outs = jax.lax.map(
+                    taps2_chunk,
+                    (s0_p.reshape(nc, chunk, nb),
+                     fb_p.reshape(nc, chunk, b),
+                     d_p.reshape(nc, chunk, 3, b),
+                     p_p.reshape(nc, chunk, ng8 + nstrip, 8 * p_all)),
+                )
+                outs = [o.reshape(n + pad_n, b, -1)[:n] for o in outs]
+            else:
+                outs = list(taps2_chunk(
+                    (s0, fbrel, delta8,
+                     pay_p.reshape(n, ng8 + nstrip, 8 * p_all))))
+            return _finish(outs)
+
+        def _fallback(_):
+            return window_gather_taps(
+                spec_planes, prev_planes, energy, input_bin, pos5, step,
+                long_step=long_step, t1=t1, chunk=chunk, fetch="einsum",
+                precision=precision, geom=(8, w))
+
+        return jax.lax.cond(ok, _two, _fallback, None)
+
+    padded = jnp.pad(payload, ((0, 0), (0, ncop * g), (0, 0)))
+    copies = [
+        padded[:, k * g: k * g + b].reshape(n, ng, g, p_all)
+        for k in range(ncop)
+    ]
+    win = jnp.concatenate(copies, axis=2)[:, :, :w].reshape(n, ng, w * p_all)
 
     def taps_chunk(args):
         """PURE 0/1 selection (chunked-gather FMA hazard: no weight may
@@ -284,35 +470,7 @@ def window_gather_taps(
                 outs.append(jnp.sum(seg * m0[..., None], axis=2))
                 outs.append(jnp.sum(seg * m1[..., None], axis=2))
             return tuple(outs)
-        outs = []
-        for f, (p0, p1) in enumerate(fam_planes):
-            d = delta_c[:, f, :, None]                    # [c, B, 1]
-            m0 = (oto == d).astype(jnp.float32)           # [c, B, w]
-            seg = rows[..., p0:p1]                        # [c, B, w, Pf]
-            # masked sum, not a dot: at most ONE nonzero term per output
-            # (exact under any lowering).  Two rejected alternatives,
-            # both measured on the v5e (benchmarks/exp_winfetch.py):
-            # a stacked broadcast-sum (rows[:,:,None]*m_all) materializes
-            # the [c,B,6,w,P] product (28.8 -> 43.1 ms), and a stacked
-            # "cbmt,cbtp->cbmp" HIGHEST einsum emits [c*B]-batched tiny
-            # dots that never tile the MXU (28.8 -> 143.4 ms).
-            outs.append(jnp.sum(seg * m0[..., None], axis=2))
-            # upper tap from the SAME mask against a one-shifted payload
-            # slice (halves mask generation): d <= w-2 by the geometry
-            # bound, so the shifted range covers every in-window match.
-            # The one reachable out-of-window case is d == -1 (position
-            # in (-1, 0): only the upper tap at band 0 is valid) — patch
-            # it with an exact 0/1 copy; both terms are exact under FMA
-            # contraction because whenever one is nonzero the other is
-            # exactly zero.
-            gb = jnp.sum(
-                seg[:, :, 1:, :] * m0[:, :, : w - 1, None], axis=2)
-            gb = gb + (
-                (d[..., 0] == -1).astype(jnp.float32)[..., None]
-                * seg[:, :, 0, :]
-            )
-            outs.append(gb)
-        return tuple(outs)
+        return _tap_outs(rows, delta_c)
 
     if n > chunk:
         pad_n = (-n) % chunk
@@ -331,31 +489,4 @@ def window_gather_taps(
         outs = [o.reshape(n + pad_n, b, -1)[:n] for o in outs]
     else:
         outs = list(taps_chunk((hi, delta, win)))
-    ga_ib, gb_ib, ga_ds, gb_ds, ga_dl, gb_dl = outs
-
-    # us/ul taps = lane shifts of down_s/down_l taps (positions equal by
-    # construction, see above); the last ``shift`` lanes have no k+shift
-    # source — their positions sit below 0, where only an upper tap at
-    # band 0 can be valid (chainfetch tail_fix; the engine itself zeroes
-    # these lanes, but the block_gather contract sees them)
-    def shifted(ga, gb, pos, sh):
-        # the band axis is axis 1: shift it directly with a slice+concat
-        # (an earlier form moved the band axis to the minor dim and back
-        # just to reuse _lshift — four relayout passes over [N, B, 2C]
-        # tensors for nothing)
-        ptail = pos[:, b - sh:]                           # [N, sh]
-        i0 = jnp.floor(ptail).astype(jnp.int32)
-        val = jnp.where(
-            ((i0 + 1) == 0)[:, :, None], spec_planes[:, :1, :], 0.0)
-        gb = jnp.concatenate([gb[:, sh:], val], axis=1)
-        ga = jnp.concatenate([ga[:, sh:], jnp.zeros_like(val)], axis=1)
-        return ga, gb
-
-    ga_us, gb_us = shifted(ga_ds, gb_ds, pos5[:, 3 * b: 4 * b], 1)
-    ga_ul, gb_ul = shifted(ga_dl, gb_dl, pos5[:, 4 * b:], long_step)
-    ga5 = jnp.concatenate(
-        [ga_ib[..., :p_spec], ga_ds, ga_dl, ga_us, ga_ul], axis=1)
-    gb5 = jnp.concatenate(
-        [gb_ib[..., :p_spec], gb_ds, gb_dl, gb_us, gb_ul], axis=1)
-    gac, gbc = ga_ib[..., p_spec:], gb_ib[..., p_spec:]   # [N, B, 3C]
-    return ga5, gb5, gac, gbc
+    return _finish(outs)

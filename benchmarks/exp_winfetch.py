@@ -114,6 +114,24 @@ def main():
                 chunk=chunk, geom=geom, fetch="einsum_bm")
             timeit(f"bm geom={geom} chunk={chunk}", fn, *args)
 
+    print("--- two-level strip selection (einsum2) geom2 sweep ---")
+    # verify the spread guard lands on the two-level branch for these
+    # positions (the measurement is meaningless on the fallback branch)
+    anchor = np.clip(
+        np.floor(base - long_step * cc).astype(np.int64), 0, b - 1)
+    for geom2 in ((32, 16), (16, 16), (64, 24), (32, 12)):
+        g2, nstrip = geom2
+        anc_b = anchor.reshape(n, b // g2, g2)
+        fbrel_max = int((anc_b // 8 - anc_b.min(2, keepdims=True) // 8).max())
+        two = fbrel_max <= nstrip - 3
+        for chunk in (8, 16):
+            fn = functools.partial(
+                wg.window_gather_taps, long_step=long_step, t1=t1,
+                chunk=chunk, fetch="einsum2", geom2=geom2)
+            timeit(
+                f"e2 geom2={geom2} chunk={chunk} "
+                f"[{'two-level' if two else 'FALLBACK'}]", fn, *args)
+
     print("--- selection precision ladder (einsum, chunk=8) ---")
     for prec in ("HIGHEST", "HIGH", "DEFAULT"):
         fn = functools.partial(

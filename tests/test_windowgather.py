@@ -51,7 +51,8 @@ def _weights(pos: jnp.ndarray, b: int):
      ("einsum", (8, 32)), ("einsum", (16, 32)), ("einsum_bm", None),
      ("einsum_bm", (8, 20)), ("einsum_bm", (16, 32)),
      ("einsum_bm", (32, 44)), ("einsum_bm", (64, 76)),
-     ("einsum_m1", None), ("einsum_m1", (8, 20)), ("einsum_m1", (16, 32))],
+     ("einsum_m1", None), ("einsum_m1", (8, 20)), ("einsum_m1", (16, 32)),
+     ("einsum2", None)],
 )
 @pytest.mark.parametrize("n", [3, 12])  # below and above the chunk size
 def test_window_gather_bit_identical_vs_block_gather(n, fetch, geom):
@@ -100,6 +101,63 @@ def test_window_gather_bit_identical_vs_block_gather(n, fetch, geom):
     comb = jnp.concatenate([prev_j, en_j], axis=-1)
     comb_ref = np.asarray(block_gather(comb, ib_j, t=8, chunk=8))
 
+    np.testing.assert_array_equal(five_w, five_ref)
+    np.testing.assert_array_equal(comb_w, comb_ref)
+
+
+@pytest.mark.parametrize("branch,geom2", [
+    ("two_level", (32, 16)), ("two_level", (16, 16)),
+    ("fallback", (32, 16)), ("fallback", (32, 8)),
+])
+def test_window_gather_einsum2_both_guard_branches(branch, geom2):
+    """einsum2 must be bit-identical to block_gather on BOTH sides of
+    its spread guard: benign maps (slope <= 2.5, the peaks-map bound)
+    take the two-level branch; a map with a giant intra-block anchor
+    jump must trip the exact integer guard into the single-level
+    fallback.  Both asserted against the generic oracle."""
+    rng = np.random.default_rng(3)
+    n, c_n = 12, 2
+    spec = rng.standard_normal((n, B, 2 * c_n)).astype(np.float32)
+    prev = rng.standard_normal((n, B, 2 * c_n)).astype(np.float32)
+    en = np.abs(rng.standard_normal((n, B, c_n))).astype(np.float32)
+
+    ib = np.empty((n, B), np.float32)
+    for i in range(n):
+        if branch == "two_level":
+            # slopes spanning the provable [0.25, 2.5] hull + jitter
+            slope = 0.25 + 2.25 * (i / max(n - 1, 1))
+            ib[i] = np.clip(
+                np.arange(B) * slope + rng.uniform(-0.4, 0.4, B), 0, B - 1)
+        else:
+            # one pathological row trips the GLOBAL guard for the batch
+            ib[i] = np.arange(B, dtype=np.float32)
+    if branch == "fallback":
+        ib[0] = np.where(np.arange(B) % 32 < 16, 0.0, B - 1.0)  # giant jumps
+    c = np.asarray([0.5, 1.0, 1.37, 2.0] * 3)[:n].astype(np.float32)
+    pos5 = _pos5_det(ib, c)
+
+    spec_j, prev_j, en_j = map(jnp.asarray, (spec, prev, en))
+    ib_j, pos5_j = jnp.asarray(ib), jnp.asarray(pos5)
+
+    # check the guard lands on the intended branch (mirrors the op's law)
+    anchor = np.clip(np.floor(ib - 5.0 * c[:, None]).astype(np.int64), 0, B - 1)
+    g2, nstrip = geom2
+    anc_b = anchor.reshape(n, B // g2, g2)
+    fbrel = anc_b // 8 - (anc_b.min(2, keepdims=True) // 8)
+    took_two = fbrel.max() <= nstrip - (20 + 7) // 8
+    assert took_two == (branch == "two_level"), (fbrel.max(), geom2)
+
+    ga5, gb5, gac, gbc = window_gather_taps(
+        spec_j, prev_j, en_j, ib_j, pos5_j, jnp.asarray(c),
+        long_step=L, t1=16, chunk=8, fetch="einsum2", geom2=geom2)
+    w05, w15 = _weights(pos5_j, B)
+    w0c, w1c = _weights(ib_j, B)
+    five_w = np.asarray(ga5 * w05[..., None] + gb5 * w15[..., None])
+    comb_w = np.asarray(gac * w0c[..., None] + gbc * w1c[..., None])
+
+    five_ref = np.asarray(block_gather(spec_j, pos5_j, t=8, chunk=8))
+    comb = jnp.concatenate([prev_j, en_j], axis=-1)
+    comb_ref = np.asarray(block_gather(comb, ib_j, t=8, chunk=8))
     np.testing.assert_array_equal(five_w, five_ref)
     np.testing.assert_array_equal(comb_w, comb_ref)
 
