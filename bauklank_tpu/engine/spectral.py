@@ -576,12 +576,24 @@ def _find_peaks_map_batched(
     cap = jnp.maximum(n_peaks - 1, 0)[:, None]
     i_p = jnp.clip(idx - 1, 0, cap)
     i_q = jnp.clip(idx, 0, cap)
-    ranks = jnp.concatenate([i_p, i_q], axis=1).astype(jnp.float32)  # [N, 2B]
     vals = jnp.stack([center, out_bin], axis=-1)                # [N, s, 2]
-    g = block_gather(
-        vals, ranks, t=t_blk, chunk=8, int_pos=True)            # [N, 2B, 2]
-    p_in, p_out = g[:, :bands, 0], g[:, :bands, 1]
-    q_in, q_out = g[:, bands:, 0], g[:, bands:, 1]
+    # Halved rank lookup (the window gather's shifted-payload trick):
+    # i_q == i_p + 1 exactly when 0 < idx <= cap, and i_q == i_p on every
+    # clip edge (idx <= 0 pins both to 0; idx > cap pins both to cap), so
+    # ONE K=B gather whose general path reads both taps of the SAME
+    # one-hot replaces the K=2B two-sided int_pos gather — the one-hot
+    # build was the dominant peaks cost (VPU mask generation, CLAUDE.md).
+    # return_taps keeps the chunk bodies pure 0/1 copies (FMA hazard);
+    # no weighted combine is needed: i_p is always in [0, cap] so the
+    # lower tap IS the row (w0 == 1), and where i_q == i_p the upper tap
+    # is replaced by the lower — bit-identical to gathering at i_q, even
+    # at the never-consumed non-`interior` bands.
+    ga, gb, _w0, _w1 = block_gather(
+        vals, i_p.astype(jnp.float32), t=t_blk, chunk=8,
+        return_taps=True, layout="kmin")                        # [N, B, 2] x2
+    g_q = jnp.where((i_q == i_p)[..., None], ga, gb)
+    p_in, p_out = ga[..., 0], ga[..., 1]
+    q_in, q_out = g_q[..., 0], g_q[..., 1]
     interior = (idx > 0) & (idx < n_peaks[:, None])
     a_in = jnp.where(idx <= 0, center[:, :1], p_in)
     a_out = jnp.where(idx <= 0, out_bin[:, :1], p_out)
