@@ -496,10 +496,7 @@ def _find_peaks_map_batched(
     above = energy > smoothed                                   # [N, B]
     prev_above = jnp.concatenate(
         [jnp.zeros_like(above[:, :1]), above[:, :-1]], axis=1)
-    nxt_above = jnp.concatenate(
-        [above[:, 1:], jnp.zeros_like(above[:, :1])], axis=1)
     run_start = above & ~prev_above
-    run_end = above & ~nxt_above
     n_peaks = jnp.sum(run_start.astype(jnp.int32), axis=1)      # [N]
     w = jnp.where(above, energy, 0.0)
 
@@ -530,18 +527,22 @@ def _find_peaks_map_batched(
     # tests/test_spectral.py's delegation paths + the golden matrix).
     t_sl = next((t for t in (64, 32, 16, 8) if slots % t == 0), t_blk)
     c_start = cs_hi[..., 2].astype(jnp.int32)
-    # ends trail starts by exactly the one currently-open run:
-    # c_end[b] = c_start[b] - 1 iff band b sits inside a run that has
-    # not ended by b (above & ~run_end), else they are equal
-    c_end = c_start - (above & ~run_end).astype(jnp.int32)
     start_pos = _count_leq_blocked(c_start, slots, t_sl)
-    end_pos = _count_leq_blocked(c_end, slots, t_sl)
-    posb = jnp.concatenate(
-        [end_pos, start_pos - 1], axis=1
-    ).astype(jnp.float32)                                       # [N, 2*slots]
-    g0 = block_gather(
-        vals_cs, posb, t=t_blk, chunk=8, int_pos=True)          # [N, 2s, 4]
-    ge, gs = g0[:, :slots], g0[:, slots:]
+    # ONE K=slots boundary gather, at starts-1 only: every band in the
+    # gap (end_pos[s], start_pos[s+1]) has above == False, so w == 0 and
+    # the (e, eb) cumsum channels are BITWISE constant across the gap
+    # (TwoSum pairs absorb exact zeros exactly) — hence
+    # cs[end_pos[s]] == cs[start_pos[s+1] - 1], and the last valid run's
+    # end (like every pad slot, whose start_pos sentinel is ``bands``)
+    # reads the free total cs[B-1].  The former K=2*slots two-sided
+    # gather, its end_pos rank count, and c_end all drop out; valid-slot
+    # outputs are bit-identical (run gaps are >= 1 band by maximality).
+    gs = block_gather(
+        vals_cs, (start_pos - 1).astype(jnp.float32),
+        t=t_blk, chunk=8, int_pos=True)                         # [N, s, 4]
+    total = jnp.concatenate(
+        [cs_hi[:, -1, :2], cs_lo[:, -1, :2]], axis=-1)[:, None]  # [N, 1, 4]
+    ge = jnp.concatenate([gs[:, 1:], total], axis=1)
     sum_e = (ge[..., 0] - gs[..., 0]) + (ge[..., 2] - gs[..., 2])
     sum_eb = (ge[..., 1] - gs[..., 1]) + (ge[..., 3] - gs[..., 3])
 

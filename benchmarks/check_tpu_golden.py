@@ -51,8 +51,12 @@ def main():
     interval = round(material.INTERVAL_MS / 1000 * sr)
     print(f"device={jax.devices()[0]}", file=sys.stderr)
 
-    cases = [c for c in material.CASES
-             if c[0] in ("r025_st0", "r05_stp12", "stereo_r07_stp5_f4_comp")]
+    # default: the three serving cases; argv names override (e.g. the
+    # 4.8 dB-margin extreme-stretch case r0001_st0 after any ULP-risky
+    # change the CPU gate cannot see — TPU-only accumulation differences)
+    want = set(sys.argv[1:]) or {"r025_st0", "r05_stp12",
+                                 "stereo_r07_stp5_f4_comp"}
+    cases = [c for c in material.CASES if c[0] in want]
     failed = []
     for name, rate, semitones, channels, extras in cases:
         ex = material.renderer_extras(extras)
