@@ -143,9 +143,18 @@ class StretchNode:
             elif "intervalMs" in kw:
                 interval = round(kw["intervalMs"] / 1000.0 * self.sample_rate)
             elif "overlap" in kw:
-                interval = round(block / float(kw["overlap"]))
+                # the reference clamps overlap to [1, 8] before configuring
+                # (app/multi/app.mjs:410); overlap < 1 would mean
+                # interval > block, where the blob's Kaiser bandwidth law
+                # has no real beta (engine.spectral.blob_window)
+                interval = round(block / min(8.0, max(1.0, float(kw["overlap"]))))
             else:
                 interval = round(block * 0.25)  # reference default (:787)
+            if interval > block:
+                raise ValueError(
+                    f"interval ({interval}) must not exceed block ({block}): "
+                    "gapped analysis has no COLA window (reference UI clamps "
+                    "overlap to [1, 8], app/multi/app.mjs:410)")
             self._raw_sizes = (block, max(1, interval))
             self.config = StretchConfig(
                 channels=self.channels,

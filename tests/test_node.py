@@ -71,6 +71,19 @@ def test_node_configure_overlap_and_latency():
     assert node.interval_samples == round(SR * 0.04)
 
 
+def test_node_configure_overlap_clamped_like_reference():
+    # the reference UI clamps overlap to [1, 8] (app/multi/app.mjs:410);
+    # overlap < 1 would mean interval > block, where the blob's Kaiser
+    # bandwidth law has no real beta (NaN window)
+    node = _node()
+    node.configure(blockMs=100, overlap=0.75)
+    assert node.interval_samples <= node.block_samples
+    node.configure(blockMs=100, overlap=100.0)
+    assert node.interval_samples == round(4410 / 8.0)
+    with pytest.raises(ValueError):
+        node.configure(blockMs=100, intervalMs=150)
+
+
 def test_node_loop_region_wraps_playhead():
     """loopStart/loopEnd wrap the input playhead during playback (reference
     loop wrap in the render loop, app/SignalsmithStretch.mjs:884-889)."""
