@@ -207,7 +207,8 @@ def _modmul31(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(acc >= m, acc - m, acc)
 
 
-def _minstd_steps(seed: jnp.ndarray, time_factor: jnp.ndarray, bands: int):
+def _minstd_steps(seed: jnp.ndarray, time_factor: jnp.ndarray, bands: int,
+                  seq: jnp.ndarray | None = None):
     """Vertical time steps for one hop: (d_down [B], d_up [B], new_seed).
 
     timeFactor <= 2: the deterministic clamp(tf, 0.5, 2) everywhere.
@@ -218,10 +219,18 @@ def _minstd_steps(seed: jnp.ndarray, time_factor: jnp.ndarray, bands: int):
     interior bands DOWN then UP, the last band only DOWN; each draw is
     shared by its short/long pair (long scales by L).  The stream is data-
     independent, so all 2B−2 draws vectorize as s·a^k mod M.
+
+    ``seq``: the [2B-2] uint32 draw stream, when the caller precomputed it
+    (``_hop_inputs_hoisted`` gates the modmul batch behind the regime cond
+    — at tf <= 2 everywhere the draws are discarded by the ``use`` select,
+    so a dummy stream is exact).  The f32 rounding ops below always run at
+    top level: only the INTEGER modmuls may sit inside a lax.cond branch
+    (no mul+add for XLA to FMA-contract — the ops/blockgather.py lesson).
     """
     n = 2 * bands - 2
-    pows = jnp.asarray(_minstd_powers(n))
-    seq = _modmul31(seed, pows)                               # s_1 .. s_n
+    if seq is None:
+        pows = jnp.asarray(_minstd_powers(n))
+        seq = _modmul31(seed, pows)                           # s_1 .. s_n
     v32 = jnp.maximum(time_factor.astype(jnp.float32), jnp.float32(0.5))
     v45 = jnp.where(v32 > 2.0, jnp.float32(4.0), jnp.float32(0.0)) - v32
     v46 = (v32 - v45) * jnp.float32(2.0 ** -31)
@@ -945,6 +954,7 @@ def _hop_pre_gather(
     fgain: jnp.ndarray | None = None,  # [bands] step-5 gain (or None)
     peaks: tuple | None = None,  # precomputed (ib_m, gr_m) from the batched
                                  # peaks map (bit-exact; see _hop_inputs_hoisted)
+    minstd_seq: jnp.ndarray | None = None,  # [2B-2] precomputed draw stream
 ):
     """Steps 3-6 of :func:`_chain_inputs` up to (but excluding) the row
     gathers: smoothers, peak map, MINSTD draws, gather POSITIONS.  Returns
@@ -980,7 +990,7 @@ def _hop_pre_gather(
         energy_c = energy_c * fgain[None]
 
     # -- step 6: gather positions (minus the state-coupled time-twist) -----
-    d_down, d_up, _ = _minstd_steps(seed, time_factor, b_n)
+    d_down, d_up, _ = _minstd_steps(seed, time_factor, b_n, seq=minstd_seq)
     zf = jnp.zeros((1,), jnp.float32)
     us_pos = jnp.concatenate([input_bin[1:], zf]) - d_up
     ul_pos = (
@@ -1130,29 +1140,50 @@ def _hop_inputs_hoisted(
         e_flat, sm, mult_n, limit_n, b_n, cfg.fft, t_blk)
     peaks = (ib_m.reshape(h, s_n, b_n), gr_m.reshape(h, s_n, b_n))
 
+    # MINSTD draw streams for all hops, gated behind the regime cond: at
+    # tf <= 2 everywhere (rate >= 0.5, the BASELINE serving matrix) every
+    # draw is discarded by _minstd_steps' ``use`` select, so the [N, 2B-2]
+    # modmul batch (~2.8 ms at N=1024 on the v5e) is replaced by a dummy
+    # stream.  Exact by construction: the cond branches hold only integer
+    # modmuls (nothing for XLA to FMA-contract); the f32 rounding ops stay
+    # at top level inside _minstd_steps, identical to the pinned path.
+    n_draws = 2 * b_n - 2
+    pows = jnp.asarray(_minstd_powers(n_draws))
+    seeds_n = seeds.reshape(n)
+
+    def _rand_seq(_):
+        return _modmul31(seeds_n[:, None], pows[None, :])    # [N, 2B-2]
+
+    def _dummy_seq(_):
+        return jnp.ones((n, n_draws), jnp.uint32)
+
+    seq_n = jax.lax.cond(
+        jnp.any(time_factor > 2.0), _rand_seq, _dummy_seq, None
+    ).reshape(h, s_n, n_draws)
+
     if fgain is None:
         pre = jax.vmap(
             jax.vmap(
-                lambda si, sp, sd, t, m, l, pk: _hop_pre_gather(
-                    cfg, si, sp, sd, t, m, l, peaks=pk
-                )
-            ),
-            in_axes=(0, 0, 0, None, None, None, 0),
-        )
-        spec_prev_rot, energy_c, input_bin, grad, pos5 = pre(
-            cur, prev, seeds, time_factor, mult, limit, peaks
-        )
-    else:
-        pre = jax.vmap(
-            jax.vmap(
-                lambda si, sp, sd, t, m, l, g, pk: _hop_pre_gather(
-                    cfg, si, sp, sd, t, m, l, g, peaks=pk
+                lambda si, sp, sd, t, m, l, pk, sq: _hop_pre_gather(
+                    cfg, si, sp, sd, t, m, l, peaks=pk, minstd_seq=sq
                 )
             ),
             in_axes=(0, 0, 0, None, None, None, 0, 0),
         )
         spec_prev_rot, energy_c, input_bin, grad, pos5 = pre(
-            cur, prev, seeds, time_factor, mult, limit, fgain, peaks
+            cur, prev, seeds, time_factor, mult, limit, peaks, seq_n
+        )
+    else:
+        pre = jax.vmap(
+            jax.vmap(
+                lambda si, sp, sd, t, m, l, g, pk, sq: _hop_pre_gather(
+                    cfg, si, sp, sd, t, m, l, g, peaks=pk, minstd_seq=sq
+                )
+            ),
+            in_axes=(0, 0, 0, None, None, None, 0, 0, 0),
+        )
+        spec_prev_rot, energy_c, input_bin, grad, pos5 = pre(
+            cur, prev, seeds, time_factor, mult, limit, fgain, peaks, seq_n
         )
 
     def planes_of(z):  # [N, C, B] complex -> [N, B, 2C] (re/im interleaved)

@@ -106,6 +106,24 @@ def main():
                 and np.array_equal(np.asarray(gq), ref_q))
         print(f"{'':56s}   bit-identical: {same}")
 
+    # -- rank lookup: t sweep (t must divide slots) -----------------------
+    def halved_t(t, chunk, layout="kmin"):
+        @jax.jit
+        def f(v, p, e):
+            ga, gb, _w0, _w1 = block_gather(
+                v, p, t=t, chunk=chunk, return_taps=True, layout=layout)
+            return ga, jnp.where(e[..., None], ga, gb)
+        return f
+
+    for t in (8, 16, 32):
+        for chunk in (8, 16):
+            (ga, gq), _ = timeit(
+                f"rank NEW: K=B both-tap kmin t={t} chunk={chunk}",
+                halved_t(t, chunk), vals, i_p_j, eq)
+            same = (np.array_equal(np.asarray(ga), ref_p)
+                    and np.array_equal(np.asarray(gq), ref_q))
+            print(f"{'':56s}   bit-identical: {same}")
+
     # -- boundary lookup: t sweep at K=2*slots, P=4, source B ------------
     vals_cs = jnp.asarray(
         np.cumsum(rng.standard_normal((n, b_n, 4)).astype(np.float32), 1))
@@ -121,6 +139,41 @@ def main():
         else:
             print(f"{'':56s}   bit-identical: "
                   f"{np.array_equal(np.asarray(out), refb)}")
+
+    # -- boundary lookup, halved form: K=slots at starts-1 ----------------
+    posh = jnp.asarray(
+        np.sort(rng.integers(0, b_n, (n, slots))).astype(np.float32))
+    refh = None
+    for t in (8, 16, 32, 64):
+        for chunk in (8, 16):
+            fn = jax.jit(functools.partial(
+                block_gather, t=t, chunk=chunk, int_pos=True))
+            out, _ = timeit(
+                f"boundary HALVED: K=s P=4 t={t} chunk={chunk}",
+                fn, vals_cs, posh)
+            if refh is None:
+                refh = np.asarray(out)
+            else:
+                print(f"{'':56s}   bit-identical: "
+                      f"{np.array_equal(np.asarray(out), refh)}")
+
+    # -- remaining components: compensated cumsum + the two MXU counts ----
+    w3 = jnp.asarray(rng.standard_normal((n, b_n, 3)).astype(np.float32))
+    cs_fn = jax.jit(functools.partial(spectral._comp_cumsum, axis=1))
+    timeit("comp cumsum [N, B, 3] pairs", cs_fn, w3)
+
+    c_start = jnp.asarray(
+        np.sort(rng.integers(0, slots, (n, b_n))).astype(np.int32))
+    t_sl = next((t for t in (64, 32, 16, 8) if slots % t == 0), t_blk)
+    cnt1 = jax.jit(functools.partial(
+        spectral._count_leq_blocked, out_len=slots, t=t_sl))
+    timeit(f"count_leq src=B out=slots t={t_sl}", cnt1, c_start)
+
+    u = jnp.asarray(np.sort(rng.integers(0, b_n, (n, slots))).astype(np.int32))
+    t_cnt = next((t for t in (64, 32, 16, 8) if b_n % t == 0), t_blk)
+    cnt2 = jax.jit(functools.partial(
+        spectral._count_leq_blocked, out_len=b_n, t=t_cnt))
+    timeit(f"count_leq src=slots out=B t={t_cnt}", cnt2, u)
 
     # -- end-to-end peaks map: old module (if saved) vs current ----------
     energy = jnp.asarray(

@@ -98,9 +98,14 @@ def main():
 
     timeit("find_peaks_map (scatters)", peaks, energy, sm, mult, limit)
 
-    from bauklank_tpu.engine.spectral import _find_peaks_map_batched
+    from bauklank_tpu.engine.spectral import (
+        _find_peaks_map_batched,
+        _peaks_block_t,
+    )
 
-    t_blk = next((t for t in (64, 32, 16, 8) if b_n % t == 0), 64)
+    # production granularity (t=8 wins decisively; see _peaks_block_t) —
+    # this rig used to hardcode t=64 and overstated the peaks cost 2.4x
+    t_blk = _peaks_block_t(b_n) or 64
 
     @jax.jit
     def peaks_batched(e, smv, m, l):
