@@ -314,7 +314,33 @@ def _comp_cumsum(x: jnp.ndarray, axis: int):
     run sits on top of a large accumulated prefix (relative error ~
     eps * prefix/run — garbage centers for faint high-band peaks).  The
     compensated pair keeps ~49 mantissa bits, so even a 1e7 prefix/run
-    ratio leaves more precision than a direct f32 sum."""
+    ratio leaves more precision than a direct f32 sum.
+
+    On TPU the [N, B, K] axis-1 form rides a Pallas sequential fold
+    (``ops/pallas/compsum.py``, O(B) combines vs the associative tree's
+    O(B log B); 5.9 -> 3.7 ms at N=1024, B=3072, K=3 on the v5e).
+    Sequential prefixes differ from the tree's in ulp — same hazard
+    class as TPU-vs-CPU ``associative_scan`` (CLAUDE.md) — and the
+    switch is golden-gated on-chip.  ``BAUKLANK_SEQ_COMPSUM=0`` restores
+    the associative form for A/B."""
+    if (
+        axis == 1
+        and x.ndim == 3
+        and x.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and os.environ.get("BAUKLANK_SEQ_COMPSUM", "1") != "0"
+    ):
+        from bauklank_tpu.ops.pallas.compsum import LANE, comp_cumsum_seq
+
+        n = x.shape[0]
+        pad_n = (-n) % LANE
+        xp = jnp.pad(x, ((0, pad_n), (0, 0), (0, 0))) if pad_n else x
+        hi, lo = comp_cumsum_seq(xp.transpose(2, 1, 0))
+        hi = hi.transpose(2, 1, 0)
+        lo = lo.transpose(2, 1, 0)
+        if pad_n:
+            hi, lo = hi[:n], lo[:n]
+        return hi, lo
     zeros = jnp.zeros_like(x)
     return jax.lax.associative_scan(_df_combine, (x, zeros), axis=axis)
 
