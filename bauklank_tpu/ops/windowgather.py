@@ -192,6 +192,15 @@ def window_gather_taps(
     All modes share the pure-0/1 tap selection and the caller-side
     combine; tests/test_windowgather.py pins them bit-identical."""
     if fetch is None:
+        # The fused Pallas selection+taps kernel (ops/pallas/wintaps.py)
+        # wins ISOLATED (19.0 vs 25.0 ms at [N=1024, B=3072] on the v5e)
+        # but LOSES fused into the fidelity step (41.3 vs ~31 ms at
+        # S=64 H=8) and its plane-major outputs force XLA to materialize
+        # the caller's weighted combine as a [N, 5B, P<=4]-minor buffer
+        # whose T(8,128) tiling pads 32x -> HBM OOM at N>=2048 — the
+        # chainfetch lesson again (isolated wins don't survive fusion).
+        # The XLA einsum stays the default; BAUKLANK_WINFETCH=pallas
+        # opts in for re-measurement.
         fetch = os.environ.get("BAUKLANK_WINFETCH", "einsum")
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
@@ -199,6 +208,18 @@ def window_gather_taps(
         env = os.environ.get("BAUKLANK_WINGEOM", "")
         if env:
             geom = tuple(int(x) for x in env.split(","))
+        elif fetch == "pallas":
+            # the fused kernel's tap stage is lane-dense, so coarser
+            # strides win; g=24 at B=3072 gives ng=128 — the exact MXU
+            # contraction depth, measured optimum on the v5e (19.0 ms vs
+            # 20.7 at (32,44), 25.2 at (16,32); see ops/pallas/wintaps.py
+            # and benchmarks/exp_winfetch.py)
+            bb = input_bin.shape[1]
+            geom = next(
+                ((gg, gg + 2 * long_step + 2) for gg in (24, 32, 16, 8)
+                 if bb % gg == 0 and bb // gg >= 2),
+                window_geom(bb, long_step, t1),
+            )
         else:
             geom = window_geom(input_bin.shape[1], long_step, t1)
     g, w = geom
@@ -397,6 +418,31 @@ def window_gather_taps(
                 precision=precision, geom=(8, w))
 
         return jax.lax.cond(ok, _two, _fallback, None)
+
+    if fetch == "pallas":
+        # Fused selection+taps kernel (ops/pallas/wintaps.py): the rows
+        # tensor never leaves VMEM, the one-hot builds in-kernel, and
+        # the tap masks run band-minor (bands on lanes).  The window is
+        # built here in the kernel's plane-major layout r = p*wpad + t
+        # (wpad = w rounded up to a sublane multiple so every plane
+        # slice in the kernel is 8-aligned; the extra t-lanes carry real
+        # payload that d <= w-2 can never select).
+        from bauklank_tpu.ops.pallas.wintaps import window_taps_fused
+
+        wpad = -(-w // 8) * 8
+        ncop_p = -(-wpad // g)
+        padded_p = jnp.pad(payload, ((0, 0), (0, ncop_p * g), (0, 0)))
+        win4 = jnp.concatenate(
+            [padded_p[:, k * g: k * g + b].reshape(n, ng, g, p_all)
+             for k in range(ncop_p)],
+            axis=2,
+        )[:, :, :wpad]                                    # [N, ng, wpad, P]
+        winT = jnp.transpose(win4, (0, 3, 2, 1)).reshape(
+            n, p_all * wpad, ng)
+        aux = jnp.concatenate(
+            [hi[:, None, :], delta], axis=1).astype(jnp.int32)
+        p_m = window_taps_fused(winT, aux, p_all, p_spec, wpad)
+        return _finish([jnp.transpose(o, (0, 2, 1)) for o in p_m])
 
     padded = jnp.pad(payload, ((0, 0), (0, ncop * g), (0, 0)))
     copies = [

@@ -95,6 +95,21 @@ def main():
                 chunk=chunk, geom=geom)
             timeit(f"geom={geom} chunk={chunk}", fn, *args)
 
+    print("--- fused Pallas selection+taps (ops/pallas/wintaps) ---")
+    # the kernel's tap stage is lane-dense, so the selection-MAC-optimal
+    # coarse stride should win: MACs ~ (B/g)(g+2L+2), minimized near
+    # g=32 with K=ng=96 (75% MXU K-fill) — vs the XLA form pinned at
+    # (8, 20) by its lane-sparse [c, B, w] tap masks
+    # (24, 36): ng = 128 = exact MXU contraction depth (no K pad waste),
+    # M = 400 sublanes — predicted optimum: eff MACs M*Kpad*N are
+    # 26.2M/step vs 31.5M at (32, 44) and 47M at (8, 24)
+    for geom in ((24, 36), (32, 44), (16, 32), (12, 24), (8, 24),
+                 (48, 60), (64, 76)):
+        fn = functools.partial(
+            wg.window_gather_taps, long_step=long_step, t1=t1,
+            geom=geom, fetch="pallas")
+        timeit(f"pallas geom={geom}", fn, *args)
+
     print("--- explicit-m1 masks (einsum_m1): one fused rows pass? ---")
     for geom in ((8, 20), (8, 24), (16, 32)):
         for chunk in (8, 16):

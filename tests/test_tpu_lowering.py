@@ -85,6 +85,45 @@ def test_fidelity_step_default_lowers_for_tpu(tpu_mode_graph):
     assert b"tpu_custom_call" in exp.mlir_module_serialized  # bandchain
 
 
+def test_window_gather_pallas_optin_lowers_for_tpu(tpu_mode_graph):
+    """The fused Pallas selection+taps kernel (ops/pallas/wintaps.py) is
+    an OPT-IN negative result (isolated 19.0 vs 25.0 ms win that loses
+    fused into the step and OOMs at N>=2048 — STATUS-r4); keep its TPU
+    lowering checked so re-measurement stays one env var away."""
+    import numpy as np
+
+    from bauklank_tpu.ops.windowgather import window_gather_taps, window_t1
+
+    n, b, c_n, L = 4, 192, 2, 5
+    rng = np.random.default_rng(3)
+    spec = jnp.asarray(rng.standard_normal((n, b, 2 * c_n)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((n, b, 2 * c_n)).astype(np.float32))
+    en = jnp.asarray(np.abs(rng.standard_normal((n, b, c_n))).astype(np.float32))
+    ib = jnp.asarray(
+        np.sort(rng.uniform(0, b - 1, (n, b))).astype(np.float32))
+    c = jnp.asarray(np.full((n,), 1.25, np.float32))
+    cc = np.asarray(c)[:, None]
+    base = np.asarray(ib)
+    us = np.concatenate([base[:, 1:], np.zeros((n, 1), np.float32)], 1) - cc
+    ul = np.concatenate(
+        [base[:, L:], np.zeros((n, L), np.float32)], 1) - cc * L
+    pos5 = jnp.asarray(np.concatenate(
+        [base, base - cc, base - cc * L, us, ul], 1))
+
+    f = jax.jit(functools.partial(
+        window_gather_taps, long_step=L, t1=window_t1(b, L),
+        fetch="pallas"))
+    exp = jax.export.export(f, platforms=["tpu"])(
+        spec, prev, en, ib, pos5, c)
+    assert b"tpu_custom_call" in exp.mlir_module_serialized
+
+    f_def = jax.jit(functools.partial(
+        window_gather_taps, long_step=L, t1=window_t1(b, L)))
+    exp_def = jax.export.export(f_def, platforms=["tpu"])(
+        spec, prev, en, ib, pos5, c)
+    assert b"tpu_custom_call" not in exp_def.mlir_module_serialized
+
+
 def test_entry_lowers_for_tpu(tpu_mode_graph):
     """The flagship fast-engine step (Pallas frame fetch on the TPU-mode
     graph; jnp.fft MDFT — the measured-faster default, STATUS-r4 §6)

@@ -52,7 +52,9 @@ def _weights(pos: jnp.ndarray, b: int):
      ("einsum_bm", (8, 20)), ("einsum_bm", (16, 32)),
      ("einsum_bm", (32, 44)), ("einsum_bm", (64, 76)),
      ("einsum_m1", None), ("einsum_m1", (8, 20)), ("einsum_m1", (16, 32)),
-     ("einsum2", None)],
+     ("einsum2", None),
+     ("pallas", None), ("pallas", (8, 24)), ("pallas", (16, 32)),
+     ("pallas", (32, 44)), ("pallas", (24, 36)), ("pallas", (12, 24))],
 )
 @pytest.mark.parametrize("n", [3, 12])  # below and above the chunk size
 def test_window_gather_bit_identical_vs_block_gather(n, fetch, geom):
