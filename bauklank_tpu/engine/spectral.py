@@ -1300,19 +1300,53 @@ def _hop_inputs_hoisted(
         ga5, gb5, w05, w15, gac, gbc, w0c, w1c = jax.lax.cond(
             jnp.all(time_factor <= 2.0), fast_gathers, slow_gathers, None)
     elif t1_win is not None:
+        # Plane-major epilogue: taps come back [N, P, K] (bands on
+        # LANES), the weighted combine broadcasts the [N, K] weights on
+        # the plane axis, and the complex re-pack below reads the
+        # (c*2 + reim) plane rows directly — no post-combine relayout
+        # (the downstream [H, S, C, K] layout is band-minor already).
+        # Per-element arithmetic is identical to the band-major form
+        # (hoisted micro-check maxdiff==0, tests/test_spectral.py), and
+        # it removes the 32x-padded [N, 5B, P<=4]-minor combine buffer
+        # that sank the fused Pallas wintaps path (docs/STATUS-r4.md).
         def win_gathers(_):
             stepc = jnp.broadcast_to(
                 jnp.clip(time_factor, 0.5, 2.0)[None, :], (h, s_n)
             ).reshape(n)
             ga5, gb5, gac, gbc = window_gather_taps(
                 spec_p, prev_p, en_p, ib_n, pos5_n, stepc,
-                long_step=cfg.long_step, t1=t1_win, chunk=8)
+                long_step=cfg.long_step, t1=t1_win, chunk=8,
+                out_layout="pm")
             w05, w15 = _tap_weights(pos5_n)
             w0c, w1c = _tap_weights(ib_n)
             return ga5, gb5, w05, w15, gac, gbc, w0c, w1c
 
+        def slow_gathers_pm(_):
+            ga5, gb5, w05, w15, gac, gbc, w0c, w1c = slow_gathers(None)
+            tr = lambda x: jnp.transpose(x, (0, 2, 1))
+            return tr(ga5), tr(gb5), w05, w15, tr(gac), tr(gbc), w0c, w1c
+
         ga5, gb5, w05, w15, gac, gbc, w0c, w1c = jax.lax.cond(
-            jnp.all(time_factor <= 2.0), win_gathers, slow_gathers, None)
+            jnp.all(time_factor <= 2.0), win_gathers, slow_gathers_pm,
+            None)
+        five_pm = ga5 * w05[:, None, :] + gb5 * w15[:, None, :]
+        g1_pm = gac * w0c[:, None, :] + gbc * w1c[:, None, :]
+
+        def complex_of_pm(p, k):  # [N, 2C', K] plane rows c*2 + reim
+            q = p.reshape(n, -1, 2, k)
+            z = jax.lax.complex(q[:, :, 0], q[:, :, 1])      # [N, C', K]
+            return z.reshape(h, s_n, -1, k)
+
+        five = complex_of_pm(five_pm, 5 * b_n)               # [H, S, C, 5B]
+        prev_interp = complex_of_pm(g1_pm[:, : 2 * c_n], b_n)
+        pe_raw = g1_pm[:, 2 * c_n:].reshape(h, s_n, c_n, b_n)
+
+        post = jax.vmap(
+            jax.vmap(
+                lambda f5, pe, pv, gr: _hop_post_gather(cfg, f5, pe, pv, gr)
+            )
+        )
+        return post(five, pe_raw, prev_interp, grad)
     else:
         ga5, gb5, w05, w15, gac, gbc, w0c, w1c = slow_gathers(None)
     five_p = ga5 * w05[..., None] + gb5 * w15[..., None]

@@ -105,6 +105,7 @@ def window_gather_taps(
     precision=None,
     geom: tuple[int, int] | None = None,
     geom2: tuple[int, int] | None = None,
+    out_layout: str = "bm",
 ):
     """Uncombined taps for the five-family and comb gathers, in the
     exact layouts `_hop_inputs_hoisted` consumes:
@@ -189,19 +190,39 @@ def window_gather_taps(
     dominant cost ~linearly while the einsum MAC count only grows as
     w/g stays small.
 
+    ``out_layout`` selects the tap-tensor layout: "bm" (band-major, the
+    shapes above) or "pm" (plane-major — ``(ga5, gb5) [N, 2C, 5B]``,
+    ``(gac, gbc) [N, 3C, B]``, bands on the LANE axis).  Plane-major is
+    the layout the downstream consumers actually want ([H, S, C, K] is
+    band-minor), so the pm epilogue lets the caller's weighted combine
+    and complex re-pack run lane-dense with no post-combine relayout —
+    and it is the NATIVE output layout of the fused Pallas kernel and
+    the einsum_bm fetch, whose band-major transposes disappear.  The
+    per-element arithmetic is identical in either layout (bit-exactness
+    unchanged).
+
     All modes share the pure-0/1 tap selection and the caller-side
     combine; tests/test_windowgather.py pins them bit-identical."""
     if fetch is None:
         # The fused Pallas selection+taps kernel (ops/pallas/wintaps.py)
-        # wins ISOLATED (19.0 vs 25.0 ms at [N=1024, B=3072] on the v5e)
-        # but LOSES fused into the fidelity step (41.3 vs ~31 ms at
-        # S=64 H=8) and its plane-major outputs force XLA to materialize
-        # the caller's weighted combine as a [N, 5B, P<=4]-minor buffer
-        # whose T(8,128) tiling pads 32x -> HBM OOM at N>=2048 — the
-        # chainfetch lesson again (isolated wins don't survive fusion).
-        # The XLA einsum stays the default; BAUKLANK_WINFETCH=pallas
-        # opts in for re-measurement.
-        fetch = os.environ.get("BAUKLANK_WINFETCH", "einsum")
+        # is the TPU default since the caller grew the PLANE-MAJOR
+        # combine epilogue (out_layout="pm"): the kernel's native
+        # [N, Pf, B] outputs now feed the combine lane-dense, deleting
+        # the 32x-padded [N, 5B, P<=4]-minor buffer that previously made
+        # its isolated win (19.0 vs 25.0 ms at [N=1024, B=3072]) a fused
+        # LOSS and an HBM OOM at N>=2048.  Measured on the v5e with the
+        # pm epilogue (2026-08-20, bench_fidelity S=128 H=8): pallas
+        # 49.02 ms/step (626.7x) vs einsum 52.92 (580.5x); S=128 H=16
+        # 102.95 ms and S=256 H=8 104.79 ms — the former OOM shapes now
+        # run AND improve.  Golden-gated on-chip over the six-case
+        # battery at margins identical to the recorded floor
+        # (44.7-100.5 dB).  Off-TPU backends keep the einsum form (the
+        # kernel would run in interpret mode); BAUKLANK_WINFETCH
+        # overrides for A/B.
+        fetch = os.environ.get("BAUKLANK_WINFETCH", "")
+        if not fetch:
+            fetch = ("pallas" if jax.default_backend() == "tpu"
+                     else "einsum")
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
     if geom is None:
@@ -287,6 +308,44 @@ def window_gather_taps(
         gac, gbc = ga_ib[..., p_spec:], gb_ib[..., p_spec:]
         return ga5, gb5, gac, gbc
 
+    def _finish_pm(outs):
+        """Plane-major twin of _finish: tap tensors are [N, Pf, B]
+        (bands on LANES), band shifts slice the minor axis, and the
+        family concat rides axis 2 — ga5/gb5 come out [N, 2C, 5B] and
+        gac/gbc [N, 3C, B], the layouts the caller's plane-major combine
+        epilogue consumes with no relayout pass.  Same us/ul tail law as
+        _finish; spec band-0 is one [N, 2C] row broadcast on lanes."""
+        ga_ib, gb_ib, ga_ds, gb_ds, ga_dl, gb_dl = outs
+        spec0 = spec_planes[:, 0, :]                  # [N, 2C]
+
+        def shifted(ga, gb, pos, sh):
+            ptail = pos[:, b - sh:]                   # [N, sh]
+            i0 = jnp.floor(ptail).astype(jnp.int32)
+            val = jnp.where(
+                ((i0 + 1) == 0)[:, None, :], spec0[:, :, None], 0.0)
+            gb = jnp.concatenate([gb[:, :, sh:], val], axis=2)
+            ga = jnp.concatenate(
+                [ga[:, :, sh:], jnp.zeros_like(val)], axis=2)
+            return ga, gb
+
+        ga_us, gb_us = shifted(ga_ds, gb_ds, pos5[:, 3 * b: 4 * b], 1)
+        ga_ul, gb_ul = shifted(ga_dl, gb_dl, pos5[:, 4 * b:], long_step)
+        ga5 = jnp.concatenate(
+            [ga_ib[:, :p_spec], ga_ds, ga_dl, ga_us, ga_ul], axis=2)
+        gb5 = jnp.concatenate(
+            [gb_ib[:, :p_spec], gb_ds, gb_dl, gb_us, gb_ul], axis=2)
+        gac, gbc = ga_ib[:, p_spec:], gb_ib[:, p_spec:]
+        return ga5, gb5, gac, gbc
+
+    def _dispatch(outs, native_pm=False):
+        if out_layout == "pm":
+            if not native_pm:
+                outs = [jnp.transpose(o, (0, 2, 1)) for o in outs]
+            return _finish_pm(outs)
+        if native_pm:
+            outs = [jnp.transpose(o, (0, 2, 1)) for o in outs]
+        return _finish(outs)
+
     def _tap_outs(rows, delta_c):
         """The PURE 0/1 tap stage shared by the einsum/gather/einsum2
         fetches: per family a lower-tap mask + the upper tap from the
@@ -352,7 +411,8 @@ def window_gather_taps(
             return window_gather_taps(
                 spec_planes, prev_planes, energy, input_bin, pos5, step,
                 long_step=long_step, t1=t1, chunk=chunk, fetch="einsum",
-                precision=precision, geom=(8, w) if b % 8 == 0 else None)
+                precision=precision, geom=(8, w) if b % 8 == 0 else None,
+                out_layout=out_layout)
         nb = b // g2
         ng8 = b // 8
         anc_b = anchor.reshape(n, nb, g2)
@@ -409,13 +469,13 @@ def window_gather_taps(
                 outs = list(taps2_chunk(
                     (s0, fbrel, delta8,
                      pay_p.reshape(n, ng8 + nstrip, 8 * p_all))))
-            return _finish(outs)
+            return _dispatch(outs)
 
         def _fallback(_):
             return window_gather_taps(
                 spec_planes, prev_planes, energy, input_bin, pos5, step,
                 long_step=long_step, t1=t1, chunk=chunk, fetch="einsum",
-                precision=precision, geom=(8, w))
+                precision=precision, geom=(8, w), out_layout=out_layout)
 
         return jax.lax.cond(ok, _two, _fallback, None)
 
@@ -442,7 +502,7 @@ def window_gather_taps(
         aux = jnp.concatenate(
             [hi[:, None, :], delta], axis=1).astype(jnp.int32)
         p_m = window_taps_fused(winT, aux, p_all, p_spec, wpad)
-        return _finish([jnp.transpose(o, (0, 2, 1)) for o in p_m])
+        return _dispatch(list(p_m), native_pm=True)
 
     padded = jnp.pad(payload, ((0, 0), (0, ncop * g), (0, 0)))
     copies = [
@@ -478,8 +538,15 @@ def window_gather_taps(
                     (d == -1).astype(jnp.float32)[:, None, :]
                     * seg[:, 0, :, :]
                 )
-                outs.append(jnp.moveaxis(ga, 1, 2))       # [c, B, Pf]
-                outs.append(jnp.moveaxis(gb, 1, 2))
+                if out_layout == "pm":
+                    # plane-major IS this branch's native layout — the
+                    # band-major moveaxis (the only relayout the bm
+                    # fetch ever paid) disappears entirely
+                    outs.append(ga)                       # [c, Pf, B]
+                    outs.append(gb)
+                else:
+                    outs.append(jnp.moveaxis(ga, 1, 2))   # [c, B, Pf]
+                    outs.append(jnp.moveaxis(gb, 1, 2))
             return tuple(outs)
         if fetch == "gather":
             rows = jnp.take_along_axis(
@@ -518,6 +585,7 @@ def window_gather_taps(
             return tuple(outs)
         return _tap_outs(rows, delta_c)
 
+    native_pm = fetch == "einsum_bm" and out_layout == "pm"
     if n > chunk:
         pad_n = (-n) % chunk
         def padn(x):
@@ -532,7 +600,10 @@ def window_gather_taps(
                 win_p.reshape(nc, chunk, ng, w * p_all),
             ),
         )
-        outs = [o.reshape(n + pad_n, b, -1)[:n] for o in outs]
+        if native_pm:
+            outs = [o.reshape(n + pad_n, -1, b)[:n] for o in outs]
+        else:
+            outs = [o.reshape(n + pad_n, b, -1)[:n] for o in outs]
     else:
         outs = list(taps_chunk((hi, delta, win)))
-    return _finish(outs)
+    return _dispatch(outs, native_pm=native_pm)

@@ -87,9 +87,11 @@ def test_fidelity_step_default_lowers_for_tpu(tpu_mode_graph):
 
 def test_window_gather_pallas_optin_lowers_for_tpu(tpu_mode_graph):
     """The fused Pallas selection+taps kernel (ops/pallas/wintaps.py) is
-    an OPT-IN negative result (isolated 19.0 vs 25.0 ms win that loses
-    fused into the step and OOMs at N>=2048 — STATUS-r4); keep its TPU
-    lowering checked so re-measurement stays one env var away."""
+    the TPU DEFAULT since the plane-major combine epilogue landed
+    (49.02 vs 52.92 ms/step at S=128 H=8 on the v5e — the bm epilogue's
+    32x-padded combine buffer was what sank it before); the TPU-mode
+    default graph must therefore carry the kernel, and the einsum form
+    must stay kernel-free (it remains the off-TPU / fallback path)."""
     import numpy as np
 
     from bauklank_tpu.ops.windowgather import window_gather_taps, window_t1
@@ -117,11 +119,20 @@ def test_window_gather_pallas_optin_lowers_for_tpu(tpu_mode_graph):
         spec, prev, en, ib, pos5, c)
     assert b"tpu_custom_call" in exp.mlir_module_serialized
 
+    # the default resolves to the kernel when tracing for TPU
     f_def = jax.jit(functools.partial(
         window_gather_taps, long_step=L, t1=window_t1(b, L)))
     exp_def = jax.export.export(f_def, platforms=["tpu"])(
         spec, prev, en, ib, pos5, c)
-    assert b"tpu_custom_call" not in exp_def.mlir_module_serialized
+    assert b"tpu_custom_call" in exp_def.mlir_module_serialized
+
+    # the einsum form stays kernel-free (off-TPU / fallback path)
+    f_ein = jax.jit(functools.partial(
+        window_gather_taps, long_step=L, t1=window_t1(b, L),
+        fetch="einsum"))
+    exp_ein = jax.export.export(f_ein, platforms=["tpu"])(
+        spec, prev, en, ib, pos5, c)
+    assert b"tpu_custom_call" not in exp_ein.mlir_module_serialized
 
 
 def test_entry_lowers_for_tpu(tpu_mode_graph):

@@ -106,6 +106,18 @@ def test_window_gather_bit_identical_vs_block_gather(n, fetch, geom):
     np.testing.assert_array_equal(five_w, five_ref)
     np.testing.assert_array_equal(comb_w, comb_ref)
 
+    # plane-major epilogue (out_layout="pm"): the [N, P, K] taps combined
+    # plane-major must equal the band-major result exactly — the serving
+    # path consumes this layout (engine/spectral plane-major epilogue)
+    pa5, pb5, pac, pbc = window_gather_taps(
+        spec_j, prev_j, en_j, ib_j, pos5_j, jnp.asarray(c),
+        long_step=L, t1=t1, chunk=8, fetch=fetch, geom=geom,
+        out_layout="pm")
+    five_pm = np.asarray(pa5 * w05[:, None, :] + pb5 * w15[:, None, :])
+    comb_pm = np.asarray(pac * w0c[:, None, :] + pbc * w1c[:, None, :])
+    np.testing.assert_array_equal(five_pm.transpose(0, 2, 1), five_ref)
+    np.testing.assert_array_equal(comb_pm.transpose(0, 2, 1), comb_ref)
+
 
 @pytest.mark.parametrize("branch,geom2", [
     ("two_level", (32, 16)), ("two_level", (16, 16)),
