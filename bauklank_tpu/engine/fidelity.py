@@ -518,7 +518,11 @@ def render_fidelity(
         jnp.asarray(audio, jnp.float32),
         jnp.asarray(ends),
         int(n_out),
-        jnp.float32(1.0 / rate),
+        # blob seek law: timeFactor = f32(min(1/rate, interval)) — the
+        # stored tf at 6156 saturates at `interval` once the rate advances
+        # less than one input sample per hop (probed round 5; only reachable
+        # at rate < 1/interval, e.g. rate 1e-5 on the control surface)
+        jnp.float32(min(1.0 / rate, float(interval))),
         jnp.float32(mult),
         jnp.float32(limit),
         state,

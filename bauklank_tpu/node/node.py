@@ -60,7 +60,12 @@ def _fidelity_chunk_jit(scfg, state, audio, packed):
     h = packed.shape[0] - 7
     ends = packed[:h].astype(jnp.int32)
     params = StretchParams(*[packed[h + i] for i in range(7)])
-    tf = 1.0 / jnp.maximum(params.rate, 1e-6)
+    # the blob's seek clamps the effective timeFactor at `interval` when the
+    # rate advances less than one input sample per hop (stored tf at 6156
+    # measured == f32(min(1/rate, interval)); decoded round 5 by probing the
+    # live blob across rate x geometry — boundary exactly tf > interval)
+    tf = jnp.minimum(1.0 / jnp.maximum(params.rate, 1e-6),
+                     jnp.float32(scfg.interval))
     limit = params.tonality / jnp.sqrt(params.transpose_factor)
     kw = {}
     if scfg.formants:

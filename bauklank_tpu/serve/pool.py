@@ -115,7 +115,10 @@ def _pool_step_fidelity(scfg, states, audios, packed):
     h = packed.shape[1] - 11
     ends = packed[:, :h].astype(jnp.int32)
     params = StretchParams(*[packed[:, h + i] for i in range(7)])
-    tf = 1.0 / jnp.maximum(params.rate, 1e-6)
+    # blob seek law: effective timeFactor saturates at `interval` when the
+    # rate advances < 1 input sample per hop (see node._fidelity_chunk_jit)
+    tf = jnp.minimum(1.0 / jnp.maximum(params.rate, 1e-6),
+                     jnp.float32(scfg.interval))
     limit = params.tonality / jnp.sqrt(params.transpose_factor)
     kw = {}
     if scfg.formants:

@@ -26,7 +26,7 @@ sys.path.insert(0, "tools")
 from golden_wasm import harness, material  # noqa: E402
 
 FIXTURES = pathlib.Path(__file__).parent / "golden" / "golden_v1.npz"
-SKIP = round(material.BLOCK_MS / 1000 * material.SR)  # latency ramp-in
+SKIP = round(material.BLOCK_MS / 1000 * material.SR)  # latency ramp-in (default geom)
 
 
 @pytest.fixture(scope="module")
@@ -37,7 +37,9 @@ def golden():
 @pytest.mark.parametrize("name,rate,semitones,channels,extras", material.CASES)
 def test_snr_vs_reference_wasm(golden, name, rate, semitones, channels, extras):
     """>=40 dB vs the reference renderer (BASELINE.md).  2 s, full matrix
-    incl. rate < 0.5 (MINSTD) and the formant cases."""
+    incl. rate < 0.5 (MINSTD), the formant cases, and the DEPLOYED kiosk
+    geometry (blockMs=200/overlap=1.0, rate 0.001-0.01 — the kiosk_ cases;
+    reference app/multi/app.mjs:124-130)."""
     from bauklank_tpu.engine.fidelity import render_fidelity
 
     x = material.case_input(rate, channels)
@@ -51,22 +53,26 @@ def test_snr_vs_reference_wasm(golden, name, rate, semitones, channels, extras):
         rate=rate,
         semitones=semitones,
         tonality_hz=material.TONALITY_HZ,
-        block_ms=material.BLOCK_MS,
-        interval_ms=material.INTERVAL_MS,
         seed=seed,
-        **material.renderer_extras(extras),
+        **material.case_render_kwargs(extras),
     )
     # auto-f0 formant cases bound the window (see material.CASES: the f0
     # index is a discrete switch; even the float64 oracle diverges from
     # the blob past ~1.2 s through the phase recurrence)
     end = int(extras.get("_compare_sec", material.SECONDS) * material.SR)
-    snr = material.snr_db(golden[name][..., :end], got[..., :end], SKIP)
+    snr = material.snr_db(golden[name][..., :end], got[..., :end],
+                          material.case_skip(extras))
     assert snr > 40.0, f"{name}: {snr:.1f} dB"
 
 
 @pytest.mark.parametrize("name,rate,semitones,channels,extras", [
     c for c in material.CASES
-    if c[0] in ("r025_st0", "stereo_r07_stp5_f4_comp")
+    if c[0] in ("r025_st0", "stereo_r07_stp5_f4_comp",
+                # VERDICT r4 item 5a: the 4.8 dB-margin extreme case and a
+                # split-off case must gate the form that serves voices
+                "r0001_st0", "r10_stp12_splitoff",
+                # the deployed kiosk operating point (overlap=1 geometry)
+                "kiosk_r0001_st0")
 ])
 def test_serving_path_snr_vs_reference_wasm(golden, name, rate, semitones,
                                             channels, extras):
@@ -75,9 +81,10 @@ def test_serving_path_snr_vs_reference_wasm(golden, name, rate, semitones,
     with carried state — not the offline `_render_jit` scan the other
     golden tests drive.  VERDICT r3 item 2a: previously the serving form
     was only pinned to the scan form per-chunk at 2e-4, so nothing
-    asserted it stays >=40 dB vs the blob over a full 2 s render.  One
-    MINSTD case (rate 0.25, vertical-step draws carried in state across
-    chunks) and one formant+compensation stereo case."""
+    asserted it stays >=40 dB vs the blob over a full 2 s render.
+    Covers: MINSTD state carried across chunks (r025/r0001), formants +
+    compensation (stereo), splitComputation=false, and the deployed kiosk
+    geometry (blockMs=200/overlap=1.0 at rate 0.001)."""
     import jax
     import jax.numpy as jnp
 
@@ -87,17 +94,19 @@ def test_serving_path_snr_vs_reference_wasm(golden, name, rate, semitones,
     from bauklank_tpu.engine.spectral import SpectralConfig, init_spectral_state
 
     sr = material.SR
-    block = round(material.BLOCK_MS / 1000 * sr)
-    interval = round(material.INTERVAL_MS / 1000 * sr)
     ex = material.renderer_extras(extras)
+    kw_geom = material.case_render_kwargs(extras)
+    block = round(kw_geom["block_ms"] / 1000 * sr)
+    interval = round(kw_geom["interval_ms"] / 1000 * sr)
+    split = bool(ex.get("split_computation", True))
     use_formants = bool(ex.get("formant_semitones") or ex.get("formant_compensation"))
     cfg = SpectralConfig(channels=channels, block=block, interval=interval,
-                         formants=use_formants)
+                         formants=use_formants, split=split)
     n_out = int(material.SECONDS * sr)
     hop_chunk = 8
     n_hops = -(-n_out // interval)
     n_hops = -(-n_hops // hop_chunk) * hop_chunk          # pad to whole chunks
-    ends = hop_frame_ends(cfg, n_hops, rate, sr)
+    ends = hop_frame_ends(cfg, n_hops, rate, sr, split=split)
 
     key = name + "__seed"
     seed = int(golden[key]) if key in golden.files else 1
@@ -109,7 +118,7 @@ def test_serving_path_snr_vs_reference_wasm(golden, name, rate, semitones,
     x = material.case_input(rate, channels)
     audios = jnp.asarray(x)[None]
     mult = float(np.exp2(semitones / 12.0))
-    tf = jnp.asarray([1.0 / rate], jnp.float32)
+    tf = jnp.asarray([min(1.0 / rate, float(interval))], jnp.float32)
     mult_a = jnp.asarray([mult], jnp.float32)
     limit = jnp.asarray([(material.TONALITY_HZ / sr) / np.sqrt(mult)], jnp.float32)
     active = jnp.ones((1,), jnp.float32)
@@ -133,7 +142,8 @@ def test_serving_path_snr_vs_reference_wasm(golden, name, rate, semitones,
     got = np.concatenate(emitted, axis=-1)[..., :n_out]
 
     end = int(extras.get("_compare_sec", material.SECONDS) * material.SR)
-    snr = material.snr_db(golden[name][..., :end], got[..., :end], SKIP)
+    snr = material.snr_db(golden[name][..., :end], got[..., :end],
+                          material.case_skip(extras))
     assert snr > 40.0, f"{name} (serving path): {snr:.1f} dB"
 
 

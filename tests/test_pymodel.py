@@ -20,13 +20,13 @@ pytestmark = pytest.mark.skipif(
 
 def _drive(semitones, rate, n_hops=12, seed=5,
            formant_semitones=0.0, formant_compensation=False,
-           formant_base_hz=0.0):
+           formant_base_hz=0.0, block=512, interval=128):
     import ctypes
 
     from golden_wasm.native import NativeStretch
     from golden_wasm.pymodel import ModelConfig, SpectralModel, analyse, blob_window
 
-    cfg = ModelConfig(1, 512, 128)
+    cfg = ModelConfig(1, block, interval)
     B, F, I, WIN = cfg.bands, cfg.fft_size, cfg.interval, cfg.block
     wa = blob_window(WIN, I)
     rng = np.random.default_rng(seed)
@@ -40,7 +40,7 @@ def _drive(semitones, rate, n_hops=12, seed=5,
     tpad = np.concatenate([np.zeros(2 * WIN), track, np.zeros(2 * WIN)])
 
     w = NativeStretch()
-    w._configure(1, 512, 128, 1)
+    w._configure(1, block, interval, 1)
     w._setTransposeSemitones(semitones, 8000.0 / sr)
     if formant_semitones or formant_compensation:
         w._setFormantSemitones(formant_semitones, 1 if formant_compensation else 0)
@@ -81,10 +81,15 @@ def _drive(semitones, rate, n_hops=12, seed=5,
     limit = float(f32(6172))
     errs = []
     for q in range(n_hops):
-        ie = round((q * 128 + out_lat) * rate) + in_lat
+        # drive one hop per call: render exactly `interval` output samples
+        # (the reference worklet uses 128-sample quanta, but the ABI's
+        # _process(0, n) is n-agnostic; with n == interval each call fires
+        # exactly one hop, which keeps this drive geometry-general —
+        # overlap-1 configs have interval > the 128 quantum)
+        ie = round((q * I + out_lat) * rate) + in_lat
         w.mem_f32(ptr, buf_len)[:] = tpad[ie + 2 * WIN - buf_len : ie + 2 * WIN]
         w._seek(buf_len, rate)
-        w._process(0, 128)
+        w._process(0, I)
         S = bands()
         blob_out = S[:, 4] + 1j * S[:, 5]
         spec_in = analyse(tpad[ie + 2 * WIN - WIN : ie + 2 * WIN], wa, F)
@@ -92,7 +97,9 @@ def _drive(semitones, rate, n_hops=12, seed=5,
             tpad[ie + 2 * WIN - WIN - I : ie + 2 * WIN - I], wa, F
         )
         out = model.hop(
-            spec_in[None], spec_prev[None], 1.0 / rate,
+            # blob seek law: timeFactor = f32(min(1/rate, interval)) — the
+            # stored tf saturates once rate advances < 1 sample per hop
+            spec_in[None], spec_prev[None], min(1.0 / rate, float(I)),
             freq_multiplier=mult, freq_tonality_limit=limit,
             formant_factor=float(np.exp2(formant_semitones / 12.0))
             if formant_semitones else 1.0,
@@ -144,6 +151,26 @@ def test_formant_base_hops_exact():
 def test_formant_compensation_hops_exact():
     """Compensation: envelope lookup in transpose-mapped space."""
     assert _drive(semitones=12.0, rate=1.0, formant_compensation=True) < 1e-3
+
+
+def test_overlap1_hops_exact():
+    """The DEPLOYED kiosk geometry class: overlap = 1 (interval == block,
+    reference app/multi/app.mjs:124-130 ships blockMs=200/overlap=1.0).
+    Structurally distinct: no window overlap in the OLA and long_step =
+    round(fft/interval) at its minimum of 1, so the long-step prediction
+    family degenerates onto the one-bin shift.  The model must stay
+    hop-exact vs the live blob there."""
+    assert _drive(semitones=0.0, rate=1.0, block=512, interval=512) < 1e-3
+
+
+def test_overlap1_extreme_stretch_minstd_hops_exact():
+    """overlap-1 + rate << 0.5 — the kiosk's actual operating regime
+    (MINSTD vertical steps at timeFactor = 1000)."""
+    assert _drive(semitones=0.0, rate=0.001, block=512, interval=512) < 1e-2
+
+
+def test_overlap1_pitch_hops_exact():
+    assert _drive(semitones=7.0, rate=0.01, block=512, interval=512) < 1e-2
 
 
 def test_formants_with_everything():

@@ -40,7 +40,11 @@ def _colored_spectra(rng, c, bands, fft, interval, rot_frac=0.7):
 
 @pytest.mark.parametrize(
     "channels,block,interval,semitones",
-    [(1, 512, 128, 0.0), (1, 512, 128, 12.0), (2, 512, 128, -7.0), (1, 500, 160, 5.0)],
+    [(1, 512, 128, 0.0), (1, 512, 128, 12.0), (2, 512, 128, -7.0), (1, 500, 160, 5.0),
+     # overlap = 1 (interval == block): the DEPLOYED kiosk geometry class
+     # (blockMs=200/overlap=1.0, app/multi/app.mjs:124-130) — long_step
+     # degenerates to 1 and the OLA has no window overlap
+     (1, 512, 512, 5.0), (2, 512, 512, 0.0)],
 )
 def test_hop_matches_pymodel(channels, block, interval, semitones):
     cfg = SpectralConfig(channels, block, interval)
@@ -156,14 +160,20 @@ def test_pool_fidelity_voice_matches_node():
     assert np.abs(got - ref).max() < 1e-4, np.abs(got - ref).max()
 
 
-@pytest.mark.parametrize("tf,seed", [(4.0, 12345), (1000.0, 777)])
-def test_hop_matches_pymodel_minstd(tf, seed):
+@pytest.mark.parametrize("tf,seed,interval", [
+    (4.0, 12345, 128), (1000.0, 777, 128),
+    # overlap-1 geometry at the saturated tf (the blob's seek clamps the
+    # effective timeFactor at `interval` — tf 512 is the max reachable at
+    # interval 512; long_step = 1 here)
+    (512.0, 271828183, 512),
+])
+def test_hop_matches_pymodel_minstd(tf, seed, interval):
     """timeFactor > 2 (rate < 0.5, the kiosk regime): the JAX engine must
     replicate the blob's MINSTD-random vertical steps draw-for-draw (the
     pymodel is itself pinned hop-exact to the live blob at these rates,
     tests/test_pymodel.py)."""
-    cfg = SpectralConfig(1, 512, 128)
-    ref_cfg = ModelConfig(1, 512, 128)
+    cfg = SpectralConfig(1, 512, interval)
+    ref_cfg = ModelConfig(1, 512, interval)
     mult = float(np.exp2(5.0 / 12.0))
     limit = (8000.0 / 44100.0) / np.sqrt(mult)
     rng = np.random.default_rng(3)

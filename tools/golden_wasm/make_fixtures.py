@@ -6,12 +6,20 @@ lets the >=40 dB BASELINE assertion run on any machine (no gcc/node
 needed); tests/test_golden_wasm.py re-verifies one fixture against a live
 blob render where gcc exists, so drift is caught.
 
-Usage: PYTHONPATH=tools python tools/golden_wasm/make_fixtures.py
+Usage: PYTHONPATH=tools python tools/golden_wasm/make_fixtures.py [case ...]
+
+With case names on argv only those cases are (re)rendered and MERGED into
+the existing npz — committed fixtures for other cases stay bit-stable
+(their rate<0.5 draw streams, and hence their measured SNR margins, are
+seed-dependent: a gratuitous regeneration would change the recorded
+44.7 dB-margin extreme case, for example).  With no argv every case is
+rendered fresh.
 """
 
 from __future__ import annotations
 
 import pathlib
+import sys
 
 import numpy as np
 
@@ -20,14 +28,18 @@ from golden_wasm import material, native
 OUT = pathlib.Path(__file__).resolve().parents[2] / "tests" / "golden" / "golden_v1.npz"
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
     arrays = {}
+    if only and OUT.exists():
+        arrays.update(np.load(OUT))
     n_out = int(material.SECONDS * material.SR)
     for name, rate, semitones, channels, extras in material.CASES:
+        if only and name not in only:
+            continue
         x = material.case_input(rate, channels)
         seeds: list = []
         kw = dict(split_computation=True)
-        kw.update(material.renderer_extras(extras))
+        kw.update(material.case_render_kwargs(extras))
         ref = native.render_reference(
             x,
             material.SR,
@@ -35,8 +47,6 @@ def main() -> None:
             rate=rate,
             semitones=semitones,
             tonality_hz=material.TONALITY_HZ,
-            block_ms=material.BLOCK_MS,
-            interval_ms=material.INTERVAL_MS,
             seed_out=seeds,
             **kw,
         )
@@ -51,4 +61,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:] or None)

@@ -56,12 +56,38 @@ CASES = [
     # has its first interval zeroed; frames land one interval earlier.
     ("r10_stp12_splitoff", 1.0, 12.0, 1, {"split_computation": False}),
     ("r025_st0_splitoff", 0.25, 0.0, 1, {"split_computation": False}),
+    # the DEPLOYED kiosk operating point: blockMs=200, overlap=1.0
+    # (interval == block), splitComputation=true, rate ~0.001
+    # (reference app/multi/app.mjs:113,124-130 — "big win in cpu" :128;
+    # README-signalsmith.md:176-180 runs 0.01 -> 0.001).  overlap=1 is a
+    # structurally distinct corner: no window overlap in the OLA and
+    # long_step = round(fft/interval) at its minimum (1).
+    ("kiosk_r0001_st0", 0.001, 0.0, 1,
+     {"block_ms": 200.0, "interval_ms": 200.0}),
+    ("kiosk_r001_st0", 0.01, 0.0, 1,
+     {"block_ms": 200.0, "interval_ms": 200.0}),
+    ("kiosk_stereo_r001_stp5", 0.01, 5.0, 2,
+     {"block_ms": 200.0, "interval_ms": 200.0}),
 ]
 
 
 def renderer_extras(extras: dict) -> dict:
     """The renderer-facing subset of a case's extras (drops test options)."""
     return {k: v for k, v in extras.items() if not k.startswith("_")}
+
+
+def case_render_kwargs(extras: dict) -> dict:
+    """Full renderer kwargs for a case: the default golden geometry overlaid
+    with the case's extras (kiosk cases carry their own block_ms /
+    interval_ms, so extras take precedence)."""
+    kw = dict(block_ms=BLOCK_MS, interval_ms=INTERVAL_MS)
+    kw.update(renderer_extras(extras))
+    return kw
+
+
+def case_skip(extras: dict) -> int:
+    """Per-case SNR skip (latency ramp-in): one block of samples."""
+    return round(extras.get("block_ms", BLOCK_MS) / 1000 * SR)
 
 SECONDS = 2.0
 BLOCK_MS = 120.0

@@ -113,7 +113,8 @@ def render_model(
         out_spec = model.hop(
             spec_in,
             spec_prev,
-            time_factor=1.0 / rate,
+            # blob seek law: tf saturates at `interval` (rate < 1/interval)
+            time_factor=min(1.0 / rate, float(interval)),
             freq_multiplier=mult,
             freq_tonality_limit=limit,
             formant_factor=float(np.exp2(formant_semitones / 12.0))
