@@ -46,6 +46,9 @@ __all__ = [
     "init_batched_fidelity_state",
     "fidelity_chunk",
     "batched_fidelity_chunk",
+    "live_fidelity_ring_len",
+    "init_batched_live_fidelity_state",
+    "batched_live_fidelity_chunk",
 ]
 
 QUANTUM = 128  # browser render quantum (reference :820-826)
@@ -472,6 +475,78 @@ def batched_fidelity_chunk_scan(
     new_spec_state = jax.tree.map(freeze, new_spec_state, spec_states)
     new_tails = freeze(new_tails, tails)
     return (new_spec_state, new_tails), emit
+
+
+def live_fidelity_ring_len(cfg: SpectralConfig, hops: int) -> int:
+    """Input-ring length for the coupled (live-input) fidelity drive: the
+    oldest window a chunk of ``hops`` hops reads is the PREV analysis of its
+    first hop — ``block + interval`` samples before that hop's window end,
+    which itself sits ``hops * interval`` before the ring's write head."""
+    return cfg.block + (hops + 1) * cfg.interval
+
+
+def init_batched_live_fidelity_state(cfg: SpectralConfig, hops: int,
+                                     capacity: int):
+    """(SpectralState, ola_tail, input_ring) per stream, batched.  The ring
+    starts zeroed — exactly the blob's freshly-reset input ring (silence
+    before the stream starts)."""
+    spec, tails = init_batched_fidelity_state(cfg, capacity)
+    rings = jnp.zeros(
+        (capacity, cfg.channels, live_fidelity_ring_len(cfg, hops)), jnp.float32
+    )
+    return (spec, tails, rings)
+
+
+def batched_live_fidelity_chunk(
+    cfg: SpectralConfig, states, chunks, mult, limit, active,
+    formant_factor=None, formant_compensation=None, formant_base=None,
+):
+    """Blob-exact COUPLED (live-input) pool step: consume
+    ``chunks [S, C, H*interval]`` of live input per stream, emit the same
+    number of processed samples.
+
+    The reference live branch copies each render quantum into the input
+    planes and calls ``_process(N, N)`` (app/SignalsmithStretch.mjs:870-882,
+    no seek).  Decoded consequences (docs/WASM-ALGO.md per-hop step 1):
+
+    - input fills the ring in lockstep with output (``inputSamples ==
+      outputSamples``), so when hop ``h`` fires at output-counter sample
+      ``o = h*interval`` the ring holds exactly the first ``o`` input
+      samples — the analysis windows end ``(H - i)*interval`` before the
+      ring's write head for chunk-local hop ``i``;
+    - the effective timeFactor is ``interval / max(advance, 1) = 1`` (the
+      ring advances exactly one interval per hop), so the deterministic
+      tf <= 2 regime always holds and the MINSTD stream is never consumed;
+    - all hop math is the file-mode math — this delegates to
+      :func:`batched_fidelity_chunk` with a rolling ring as the audio and
+      CONSTANT relative frame ends (no per-step host work at all).
+
+    state = (SpectralState, ola_tail, ring [C, L]) per stream (see
+    :func:`init_batched_live_fidelity_state`).
+    """
+    spec_states, tails, rings = states
+    s, c, n = chunks.shape
+    interval = cfg.interval
+    h = n // interval
+    assert h * interval == n, (n, interval)
+    el = rings.shape[-1]
+    rings = jnp.concatenate(
+        [rings[:, :, n:], chunks.astype(jnp.float32)], axis=-1
+    )
+    ends = el - (h - jnp.arange(h, dtype=jnp.int32)) * interval
+    ends = jnp.broadcast_to(ends[None], (s, h))
+    tf = jnp.ones((s,), jnp.float32)
+    kw = {}
+    if formant_factor is not None:
+        kw = dict(
+            formant_factor=formant_factor,
+            formant_compensation=formant_compensation,
+            formant_base=formant_base,
+        )
+    (spec_states, tails), emit = batched_fidelity_chunk(
+        cfg, (spec_states, tails), rings, ends, tf, mult, limit, active, **kw
+    )
+    return (spec_states, tails, rings), emit
 
 
 def render_fidelity(

@@ -122,7 +122,9 @@ def window_gather_taps(
 
     ``fetch`` selects how each band's w-wide candidate strip is
     pulled out of the overlapped window tensor (None -> the
-    ``BAUKLANK_WINFETCH`` env var, default "einsum"):
+    ``BAUKLANK_WINFETCH`` env var; when that is unset the default is
+    resolved at TRACE time from ``jax.default_backend()`` — "pallas"
+    on TPU, "einsum" elsewhere; see the in-function comment):
       - "einsum": [B, ng] one-hot x window einsum at HIGHEST — exact
         row copies on the MXU (the r4 default's form);
       - "gather": ``take_along_axis`` on the ng axis — one contiguous
@@ -203,6 +205,7 @@ def window_gather_taps(
 
     All modes share the pure-0/1 tap selection and the caller-side
     combine; tests/test_windowgather.py pins them bit-identical."""
+    assert out_layout in ("bm", "pm"), out_layout
     if fetch is None:
         # The fused Pallas selection+taps kernel (ops/pallas/wintaps.py)
         # is the TPU default since the caller grew the PLANE-MAJOR

@@ -27,6 +27,7 @@ from bauklank_tpu.engine.batched import batched_process_chunk
 
 __all__ = [
     "stream_mesh", "shard_streams", "sharded_step", "sharded_fidelity_step",
+    "sharded_live_fidelity_step",
 ]
 
 
@@ -96,6 +97,40 @@ def sharded_fidelity_step(scfg, mesh: Mesh, formants: bool = False):
     def step(states, audios, ends, tf, mult, limit, active, *fmt):
         return batched_fidelity_chunk(
             scfg, states, audios, ends, tf, mult, limit, active, *fmt
+        )
+
+    return step
+
+
+def sharded_live_fidelity_step(scfg, hops: int, mesh: Mesh,
+                               formants: bool = False):
+    """Compile the blob-exact COUPLED (live-input) step
+    (:func:`bauklank_tpu.engine.fidelity.batched_live_fidelity_chunk`)
+    with stream sharding over ``mesh``.
+
+    Live voices are the purest stream-DP case: each voice carries its own
+    input ring and consumes its own chunk (reference live branch
+    app/SignalsmithStretch.mjs:870-882), so there are zero collectives —
+    the mesh spreads voices and every stage stays on-device.
+
+    Returns ``step(states, chunks, mult, limit, active, *fmt)`` with every
+    argument/result sharded on its leading stream axis and states donated.
+    ``chunks`` is ``[S, C, hops * scfg.interval]`` live input.
+    """
+    from bauklank_tpu.engine.fidelity import batched_live_fidelity_chunk
+
+    s = NamedSharding(mesh, P("stream"))
+    n_pos = 5 + (3 if formants else 0)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(s,) * n_pos,
+        out_shardings=(s, s),
+        donate_argnums=(0,),
+    )
+    def step(states, chunks, mult, limit, active, *fmt):
+        return batched_live_fidelity_chunk(
+            scfg, states, chunks, mult, limit, active, *fmt
         )
 
     return step

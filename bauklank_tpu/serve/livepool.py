@@ -34,6 +34,30 @@ def _live_step(config, states, chunks, packed):
     return jax.vmap(fn)(states, chunks, params)
 
 
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _live_fidelity_step(scfg, states, chunks, packed):
+    """Blob-exact coupled step: the live analog of
+    serve.pool._pool_step_fidelity.  Rate does not apply (the reference live
+    branch consumes input in lockstep with output and never seeks —
+    app/SignalsmithStretch.mjs:870-882); transpose/tonality/formant params
+    map onto the blob controls exactly as in file mode."""
+    from bauklank_tpu.engine.fidelity import batched_live_fidelity_chunk
+
+    params = StretchParams(*[packed[:, i] for i in range(7)])
+    mult = params.transpose_factor
+    limit = params.tonality / jnp.sqrt(mult)
+    kw = {}
+    if scfg.formants:
+        kw = dict(
+            formant_factor=params.formant_factor,
+            formant_compensation=params.formant_compensation,
+            formant_base=params.formant_base,
+        )
+    return batched_live_fidelity_chunk(
+        scfg, states, chunks, mult, limit, params.active, **kw
+    )
+
+
 class LivePool:
     """N live voices, one dispatch per interval."""
 
@@ -45,22 +69,43 @@ class LivePool:
         config: StretchConfig | None = None,
         names: list[str] | None = None,
         hops_per_step: int = 1,
+        engine: str = "fast",
     ) -> None:
         # hops_per_step > 1 amortizes dispatch latency (valuable on
         # high-latency device attachments) at the cost of that many
         # intervals of extra control latency.
+        # engine: "fast" (engine.core coupled ring) or "fidelity" (the
+        # blob-exact coupled mode — same reference semantics as
+        # StreamPool(engine="fidelity"), golden-gated vs coupled-mode blob
+        # renders in tests/test_golden_wasm.py).
         from bauklank_tpu.engine.config import preset_default
 
+        if engine not in ("fast", "fidelity"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.sample_rate = float(sample_rate)
         self.config = config or preset_default(channels, sample_rate)
         self.capacity = capacity
         self.hops_per_step = hops_per_step
         self.names = names or [f"l{i:02d}" for i in range(capacity)]
         self._by_name = {n: i for i, n in enumerate(self.names)}
-        one = init_live_state(self.config, hops_per_step)
-        self.states: LiveState = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (capacity,) + x.shape), one
-        )
+        if engine == "fidelity":
+            from bauklank_tpu.engine.fidelity import (
+                SpectralConfig, init_batched_live_fidelity_state,
+            )
+
+            self.scfg = SpectralConfig(
+                channels, self.config.block, self.config.interval,
+                split=self.config.split_computation,
+            )
+            self.states = init_batched_live_fidelity_state(
+                self.scfg, hops_per_step, capacity
+            )
+        else:
+            one = init_live_state(self.config, hops_per_step)
+            self.states: LiveState = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (capacity,) + x.shape), one
+            )
         self.timemaps = [TimeMap() for _ in range(capacity)]
         c = self.config.channels
         self._in_fifo = [np.zeros((c, 0), np.float32) for _ in range(capacity)]
@@ -70,13 +115,28 @@ class LivePool:
         self.timer = StepTimer(sample_rate)
 
     # -------------------------------------------------- slot lifecycle
+    def _init_batched(self, n: int):
+        """Fresh engine state for ``n`` streams (engine-mode aware)."""
+        if self.engine == "fidelity":
+            from bauklank_tpu.engine.fidelity import (
+                init_batched_live_fidelity_state,
+            )
+
+            return init_batched_live_fidelity_state(
+                self.scfg, self.hops_per_step, n
+            )
+        one = init_live_state(self.config, self.hops_per_step)
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), one
+        )
+
     def clear_voice(self, slot: str) -> None:
         """Reset one live voice (engine state, input FIFO, time map) so the
         batch row can be reused (reference reset-on-configure semantics,
         app/SignalsmithStretch.mjs:791-792)."""
         i = self._by_name[slot]
-        one = init_live_state(self.config, self.hops_per_step)
-        self.states = jax.tree.map(lambda a, o: a.at[i].set(o), self.states, one)
+        one = self._init_batched(1)
+        self.states = jax.tree.map(lambda a, o: a.at[i].set(o[0]), self.states, one)
         self.timemaps[i] = TimeMap()
         self._in_fifo[i] = np.zeros((self.config.channels, 0), np.float32)
 
@@ -86,8 +146,7 @@ class LivePool:
         if new_capacity <= self.capacity:
             return
         pad = new_capacity - self.capacity
-        one = init_live_state(self.config, self.hops_per_step)
-        extra = jax.tree.map(lambda x: jnp.broadcast_to(x, (pad,) + x.shape), one)
+        extra = self._init_batched(pad)
         self.states = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), self.states, extra
         )
@@ -164,9 +223,19 @@ class LivePool:
                 1.0 if seg.formant_compensation else 0.0,
                 seg.formant_base_hz / sr,
             )
-        self.states, out = _live_step(
-            self.config, self.states, jnp.asarray(chunks), jnp.asarray(packed)
-        )
+        if self.engine == "fidelity":
+            # host-side formant gating, as in StreamPool.step: compile the
+            # formant chain in only when some voice drives it this step
+            scfg = self.scfg
+            if np.any(packed[:, 4] != 1.0) or np.any(packed[:, 5] != 0.0):
+                scfg = scfg._replace(formants=True)
+            self.states, out = _live_fidelity_step(
+                scfg, self.states, jnp.asarray(chunks), jnp.asarray(packed)
+            )
+        else:
+            self.states, out = _live_step(
+                self.config, self.states, jnp.asarray(chunks), jnp.asarray(packed)
+            )
         self.out_pos += n
         result = np.asarray(out)
         self.timer.tick(self.capacity * n)

@@ -183,3 +183,61 @@ def test_sharded_fidelity_step_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out_ref2), np.asarray(out_sh2), atol=2e-4
     )
+
+
+def test_sharded_live_fidelity_step_matches_unsharded():
+    """`parallel.mesh.sharded_live_fidelity_step` (dryrun stage 4: the
+    blob-exact COUPLED mode under stream-DP) matches the unsharded live
+    chunk across two donated steps — live voices are pure data
+    parallelism (each carries its own input ring; reference live branch
+    app/SignalsmithStretch.mjs:870-882)."""
+    from bauklank_tpu.engine.fidelity import (
+        SpectralConfig, batched_live_fidelity_chunk,
+        init_batched_live_fidelity_state,
+    )
+    from bauklank_tpu.parallel import shard_streams, stream_mesh
+    from bauklank_tpu.parallel.mesh import sharded_live_fidelity_step
+
+    cfg = SpectralConfig(2, 512, 128)
+    s_n, h_n = 16, 2
+    n = h_n * cfg.interval
+    t = np.arange(2 * n) / SR
+    chunks = [
+        jnp.asarray(
+            np.stack([
+                np.stack([
+                    0.3 * np.sin(2 * np.pi * (220 + 5 * k + 3 * c)
+                                 * t[j * n:(j + 1) * n])
+                    for c in range(2)
+                ])
+                for k in range(s_n)
+            ]).astype(np.float32)
+        )
+        for j in range(2)
+    ]
+    mult = np.exp2(np.linspace(-12, 12, s_n) / 12.0).astype(np.float32)
+    args = (
+        jnp.asarray(mult),
+        jnp.asarray(((8000.0 / SR) / np.sqrt(mult)).astype(np.float32)),
+        jnp.ones((s_n,), jnp.float32),
+    )
+
+    st_ref = init_batched_live_fidelity_state(cfg, h_n, s_n)
+    st_ref, out_ref = batched_live_fidelity_chunk(
+        cfg, st_ref, chunks[0], *args)
+    st_ref, out_ref2 = batched_live_fidelity_chunk(
+        cfg, st_ref, chunks[1], *args)
+
+    mesh = stream_mesh(8)
+    step = sharded_live_fidelity_step(cfg, h_n, mesh)
+    sh = shard_streams(
+        mesh,
+        (init_batched_live_fidelity_state(cfg, h_n, s_n), chunks[0]) + args,
+    )
+    st_sh, out_sh = step(*sh)
+    assert len(out_sh.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_sh),
+                               atol=2e-4)
+    _, out_sh2 = step(st_sh, shard_streams(mesh, chunks[1]), *sh[2:])
+    np.testing.assert_allclose(np.asarray(out_ref2), np.asarray(out_sh2),
+                               atol=2e-4)

@@ -156,3 +156,28 @@ def test_entry_lowers_for_tpu_fused_mdft(tpu_mode_graph, monkeypatch):
     fn, args = g.entry()
     exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
     assert len(exp.mlir_module_serialized) > 0
+
+
+def test_live_fidelity_step_lowers_for_tpu(tpu_mode_graph):
+    """batched_live_fidelity_chunk (the blob-exact COUPLED mode, r5) must
+    lower for the tpu platform with the TPU-default kernel set in-graph
+    (wintaps window gather, Pallas frames fetch)."""
+    from bauklank_tpu.engine.fidelity import (
+        SpectralConfig,
+        batched_live_fidelity_chunk,
+        init_batched_live_fidelity_state,
+    )
+
+    s, h = 4, 2
+    cfg = SpectralConfig(
+        channels=2, block=round(0.12 * SR), interval=round(0.03 * SR))
+    states = init_batched_live_fidelity_state(cfg, h, s)
+    chunks = jnp.zeros((s, 2, h * cfg.interval), jnp.float32)
+    ones = jnp.ones((s,), jnp.float32)
+    limit = jnp.full((s,), 0.18, jnp.float32)
+
+    f = jax.jit(functools.partial(batched_live_fidelity_chunk, cfg))
+    exp = jax.export.export(f, platforms=["tpu"])(
+        states, chunks, ones, limit, ones)
+    assert len(exp.mlir_module_serialized) > 0
+    assert b"tpu_custom_call" in exp.mlir_module_serialized

@@ -205,6 +205,25 @@ def test_unified_pool_fidelity_engine():
     assert spec[np.abs(hz - 440) < 15].max() > 0.3 * spec.max()
 
 
+def test_unified_live_voice_honors_fidelity_engine():
+    """UnifiedPool(engine="fidelity") routes LIVE voices through the
+    blob-exact coupled engine too — r4 VERDICT missing #2: live voices used
+    to silently downgrade to the fast engine (old serve/unified.py:71-81)."""
+    pool = _pool(names=["A"], engine="fidelity")
+    pool.apply_set("A", "blockMs", 512 / 44.1)
+    pool.apply_set("A", "overlap", 4.0)
+    pool.schedule("A", {"output": 0.0, "active": True, "semitones": 12})
+    x = tone(440.0, int(SR), SR)
+    pool.feed("A", x)                      # switches the voice to live mode
+    v = pool.voices["A"]
+    b = pool.buckets[v.bucket_key]
+    assert b.mode == "live" and b.pool.engine == "fidelity"
+    out = np.concatenate([pool.render(256) for _ in range(40)], axis=1)
+    tail = out[0, -4096:]
+    assert np.isfinite(out).all() and np.abs(tail).max() > 1e-3
+    assert abs(_dominant_hz(tail) - 880.0) < 10.0
+
+
 def test_unified_pipeline_fetch_identical_stream():
     """pipeline_fetch overlaps bucket d2h with later dispatches; the
     rendered sample stream must be identical to blocking fetch."""

@@ -175,6 +175,18 @@ def test_window_gather_einsum2_both_guard_branches(branch, geom2):
     np.testing.assert_array_equal(five_w, five_ref)
     np.testing.assert_array_equal(comb_w, comb_ref)
 
+    # pm layout through the SAME guard branch (the serving path's layout;
+    # ADVICE r4: the pm identity check previously only ever saw the
+    # two-level branch via the generic first test)
+    pa5, pb5, pac, pbc = window_gather_taps(
+        spec_j, prev_j, en_j, ib_j, pos5_j, jnp.asarray(c),
+        long_step=L, t1=16, chunk=8, fetch="einsum2", geom2=geom2,
+        out_layout="pm")
+    five_pm = np.asarray(pa5 * w05[:, None, :] + pb5 * w15[:, None, :])
+    comb_pm = np.asarray(pac * w0c[:, None, :] + pbc * w1c[:, None, :])
+    np.testing.assert_array_equal(five_pm.transpose(0, 2, 1), five_ref)
+    np.testing.assert_array_equal(comb_pm.transpose(0, 2, 1), comb_ref)
+
 
 def test_window_gather_tail_lanes_only_upper_tap():
     """The last shift lanes of us/ul (positions -c, -L*c): c < 1 leaves a

@@ -55,6 +55,23 @@ def main(only: list[str] | None = None) -> None:
         # renders (the engine consumes random vertical-step draws there)
         arrays[name + "__seed"] = np.uint32(seeds[0])
         print(f"{name}: rendered {ref.shape} seed={seeds[0]}")
+    for name, semitones, channels, extras in material.LIVE_CASES:
+        if only and name not in only:
+            continue
+        x = material.case_input(1.0, channels)[:, :n_out]
+        kw = dict(split_computation=True)
+        kw.update(material.case_render_kwargs(extras))
+        ref = native.render_reference_live(
+            x,
+            material.SR,
+            n_out,
+            semitones=semitones,
+            tonality_hz=material.TONALITY_HZ,
+            **kw,
+        )
+        # coupled mode never consumes MINSTD draws (tf == 1), so no seed
+        arrays[name] = ref.astype(np.float32)
+        print(f"{name}: rendered live {ref.shape}")
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **arrays)
     print(f"wrote {OUT} ({OUT.stat().st_size/1e6:.1f} MB)")

@@ -70,6 +70,21 @@ CASES = [
      {"block_ms": 200.0, "interval_ms": 200.0}),
 ]
 
+#: coupled (live-input) golden cases: (name, semitones, channels, extras).
+#: The reference live branch copies each render quantum into the input
+#: planes and processes coupled (app/SignalsmithStretch.mjs:870-882) —
+#: rate does not apply; pitch/formant controls do.
+LIVE_CASES = [
+    ("live_st0", 0.0, 1, {}),
+    ("live_stp12", 12.0, 1, {}),
+    ("live_stereo_stm7", -7.0, 2, {}),
+    ("live_stp5_f4_comp", 5.0, 2,
+     {"formant_semitones": 4.0, "formant_compensation": True,
+      "_compare_sec": 1.0}),
+    # the deployed kiosk geometry, coupled
+    ("live_kiosk_stp5", 5.0, 1, {"block_ms": 200.0, "interval_ms": 200.0}),
+]
+
 
 def renderer_extras(extras: dict) -> dict:
     """The renderer-facing subset of a case's extras (drops test options)."""

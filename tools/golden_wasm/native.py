@@ -343,6 +343,55 @@ class WorkletDriver:
         self.current_time += n / self.sr
 
 
+def render_reference_live(
+    audio: np.ndarray,
+    sample_rate: float,
+    n_out: int,
+    semitones: float = 0.0,
+    tonality_hz: float = 8000.0,
+    formant_semitones: float = 0.0,
+    formant_compensation: bool = False,
+    formant_base_hz: float = 0.0,
+    block_ms: float = 120.0,
+    interval_ms: float = 30.0,
+    split_computation: bool = True,
+) -> np.ndarray:
+    """Drive the blob in COUPLED (live-input) mode: per 128-frame quantum,
+    copy the next quantum of ``audio`` into the input planes and call
+    ``_process(n, n)`` — the reference worklet's live branch verbatim
+    (app/SignalsmithStretch.mjs:870-882; no ``_seek``).  Rate does not
+    apply (input is consumed in lockstep with output); transpose/formant
+    settings are pushed per quantum exactly like the file path."""
+    audio = np.ascontiguousarray(audio, np.float32)
+    channels = audio.shape[0]
+    d = WorkletDriver(sample_rate, channels)
+    d.configure(
+        blockMs=block_ms, intervalMs=interval_ms, splitComputation=split_computation
+    )
+    w = d.wasm
+    out = np.zeros((channels, n_out), np.float32)
+    pos = 0
+    while pos < n_out:
+        n = QUANTUM
+        w._setTransposeSemitones(semitones, tonality_hz / d.sr)
+        w._setFormantSemitones(
+            formant_semitones, 1 if formant_compensation else 0
+        )
+        w._setFormantBase(formant_base_hz / d.sr)
+        for c in range(channels):
+            buf = w.mem_f32(d.buf_in[c], n)
+            buf[:] = 0.0
+            hi = min(pos + n, audio.shape[1])
+            if hi > pos:
+                buf[: hi - pos] = audio[c, pos:hi]
+        w._process(n, n)
+        take = min(n, n_out - pos)
+        for c in range(channels):
+            out[c, pos : pos + take] = w.mem_f32(d.buf_out[c], n)[:take]
+        pos += n
+    return out
+
+
 def render_reference(
     audio: np.ndarray,
     sample_rate: float,
