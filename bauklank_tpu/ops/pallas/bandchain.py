@@ -109,13 +109,21 @@ def _kernel(channels, long_step, b_chunk, lead_ref, chan_ref, out_ref, ring):
             oci = jnp.where(oh > 0.5, omi, sc * ci)
             out_ref[c, 0, pl.ds(i, 1), :] = ocr[None]
             out_ref[c, 1, pl.ds(i, 1), :] = oci[None]
-            # ring shift: drop the oldest, append band b
-            ring[c, 0, :, :] = jnp.concatenate(
-                [ring[c, 0, 1:, :], ocr[None]], axis=0
-            )
-            ring[c, 1, :, :] = jnp.concatenate(
-                [ring[c, 1, 1:, :], oci[None]], axis=0
-            )
+            # ring shift: drop the oldest, append band b.  At
+            # long_step == 1 (overlap-1 geometries: interval == block,
+            # the deployed kiosk config) band b-1 IS band b-long_step,
+            # the ring is a single row, and the shift degenerates to a
+            # replace (an empty `ring[1:]` slice is rejected by Pallas).
+            if long_step > 1:
+                ring[c, 0, :, :] = jnp.concatenate(
+                    [ring[c, 0, 1:, :], ocr[None]], axis=0
+                )
+                ring[c, 1, :, :] = jnp.concatenate(
+                    [ring[c, 1, 1:, :], oci[None]], axis=0
+                )
+            else:
+                ring[c, 0, :, :] = ocr[None]
+                ring[c, 1, :, :] = oci[None]
         return 0
 
     jax.lax.fori_loop(0, b_chunk, body, 0)

@@ -1,32 +1,42 @@
-"""Headline benchmark: aggregate real-time factor per chip.
+"""Headline benchmark: the CONJUNCTIVE BASELINE reading, one JSON line.
 
-Runs the batched multi-stream serving step (BASELINE config 5 shape: 64
-independent stereo 44.1 kHz streams with per-stream rate/pitch state,
-preset-default engine config) on the default JAX device and reports
+The driver-captured line now evidences BOTH BASELINE rows from one run
+(VERDICT r4 missing #3):
 
-    {"metric": "aggregate_realtime_factor", "value": <RTF>,
-     "unit": "x_realtime_per_chip", "vs_baseline": <RTF / 500>}
+- ``value``: aggregate real-time factor of the BLOB-EXACT serving path
+  (StreamPool fidelity step, BASELINE matrix rates 0.5-2.0 x +/-12 st at
+  the preset serving geometry) — the number that pairs with the >=40 dB
+  row, whose on-chip golden floor rides along as ``snr_floor_db`` (read
+  from GOLDEN_TPU.json, the committed artifact benchmarks/check_tpu_golden
+  --all --record writes).
+- ``fast_x``: the fast engine's aggregate (the former headline: 64+
+  streams, preset-default, BASELINE config 5 shape).
+- ``kiosk_x``: the blob-exact aggregate at the DEPLOYED kiosk operating
+  point — blockMs=200, overlap=1.0 (interval == block), rate 0.001
+  (reference app/multi/app.mjs:113,124-130) — the tf>2 MINSTD regime.
 
-where RTF = (total output samples/sec across streams) / 44100.  The
-reference operates at 1x real time for its deployed single engine on a
-Raspberry Pi (BASELINE.md); the driver-set target is >=500x aggregate per
-TPU chip, so vs_baseline is reported as the fraction of that 500x target.
+vs_baseline = value / 500 (the driver-set >=500x target, BASELINE.md).
 
 Environment notes (tunneled TPU): block_until_ready may return before work
 completes until a device->host transfer has occurred, so timing is fenced
 with a jitted scalar reduction; first-touch (init + first compile) can take
-minutes and is excluded from the timed region.
+minutes and is excluded from the timed regions.
 
 Logs go to stderr; stdout is exactly one JSON line.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+SR = 44100.0
+BASELINE_TARGET = 500.0
 
 
 def log(*a):
@@ -62,9 +72,9 @@ def _probe_devices(timeout_s: float = 600.0):
     err = out.get("error", f"jax.devices() unanswered after {timeout_s:.0f}s "
                            "(tunnel outage?)")
     print(json.dumps({
-        "metric": "aggregate_realtime_factor",
+        "metric": "fidelity_aggregate_realtime_factor",
         "value": 0.0,
-        "unit": "x_realtime_per_chip",
+        "unit": "x_realtime_per_chip_blob_exact",
         "vs_baseline": 0.0,
         "error": err,
     }))
@@ -73,9 +83,118 @@ def _probe_devices(timeout_s: float = 600.0):
     os._exit(1)  # the probe thread is stuck in native code; don't join it
 
 
-def main():
+def bench_fast():
+    """The fast engine's aggregate RTF (the former headline measurement:
+    BASELINE config 5 shape at the measured 128-stream throughput knee)."""
     import jax
     import jax.numpy as jnp
+
+    from bauklank_tpu.engine.batched import (
+        batched_step_jit, formants_off, init_batched_state,
+    )
+    from bauklank_tpu.engine.config import preset_default
+    from bauklank_tpu.engine.offline import frame_ends_for
+    from bauklank_tpu.engine.params import StretchParams
+
+    n_streams = 128
+    hops = 32
+    # the serving pool dispatches the formants-off compile of the step when
+    # no stream uses formant controls (serve/pool.StreamPool.step; the
+    # reference engine gates the same way) — this bench's params are
+    # formant-neutral, so measure that path
+    config = formants_off(preset_default(channels=2, sample_rate=SR))
+    log(f"[fast] config=block{config.block}/int{config.interval} streams={n_streams}")
+
+    rng = np.random.default_rng(0)
+    t = int(6 * SR)
+    audios = jnp.asarray(
+        (rng.standard_normal((n_streams, 2, t)) * 0.2).astype(np.float32))
+    rates = np.linspace(0.5, 2.0, n_streams)
+    params = StretchParams.stack(
+        [
+            StretchParams.make(rate=r, semitones=s, sample_rate=SR)
+            for r, s in zip(rates, np.linspace(-12, 12, n_streams))
+        ]
+    )
+    states = init_batched_state(config, n_streams)
+    rms_jit = jax.jit(lambda o: jnp.sqrt(jnp.mean(jnp.square(o))))
+
+    def ends_at(step_idx):
+        return jnp.asarray(
+            np.stack(
+                [frame_ends_for(config, step_idx * hops * config.interval,
+                                hops, r) for r in rates]
+            ),
+            jnp.int32,
+        )
+
+    t0 = time.perf_counter()
+    states, out = batched_step_jit(config, states, audios, ends_at(0), params)
+    rms = float(rms_jit(out))
+    assert np.isfinite(rms) and rms > 0, rms
+    log(f"[fast] compiled+warm in {time.perf_counter()-t0:.0f}s, rms={rms:.4f}")
+
+    n_steps = 8
+    ends = [ends_at(i + 1) for i in range(n_steps)]
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        states, out = batched_step_jit(config, states, audios, ends[i], params)
+    float(rms_jit(out))  # fence
+    dt = time.perf_counter() - t0
+    rtf = n_steps * n_streams * hops * config.interval / dt / SR
+    log(f"[fast] {n_steps} steps in {dt:.3f}s -> {rtf:.1f}x aggregate")
+    return rtf
+
+
+def bench_fidelity(s, h, block, interval, rates, reps=12, tag="fidelity"):
+    """Blob-exact StreamPool-form step over a rate mix; returns aggregate
+    RTF.  Mirrors benchmarks/bench_fidelity.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from bauklank_tpu.engine.fidelity import (
+        SpectralConfig,
+        batched_fidelity_chunk,
+        init_batched_fidelity_state,
+    )
+
+    cfg = SpectralConfig(channels=2, block=block, interval=interval)
+    log(f"[{tag}] streams={s} hops={h} block={block}/{interval} "
+        f"rates {rates.min():g}..{rates.max():g}")
+
+    rng = np.random.default_rng(0)
+    audios = jnp.asarray(
+        (rng.standard_normal((s, 2, int(6 * SR))) * 0.2).astype(np.float32))
+    ends = jnp.asarray(
+        600 + block
+        + (np.arange(h)[None] * interval * rates[:, None]).round().astype(
+            np.int32))
+    # blob seek law: tf saturates at `interval` once rate < 1/interval
+    tf = jnp.asarray(np.minimum(1.0 / rates, float(interval)).astype(np.float32))
+    mult = jnp.asarray(np.exp2(np.linspace(-12, 12, s) / 12).astype(np.float32))
+    limit = jnp.asarray((8000.0 / SR) / np.sqrt(np.asarray(mult)))
+    active = jnp.ones((s,), jnp.float32)
+    states = init_batched_fidelity_state(cfg, s)
+
+    step = jax.jit(functools.partial(batched_fidelity_chunk, cfg))
+    fence = jax.jit(lambda o: jnp.sum(jnp.abs(o)))
+    t0 = time.time()
+    out = step(states, audios, ends, tf, mult, limit, active)
+    float(fence(jax.tree.leaves(out)[0]))
+    log(f"[{tag}] compiled+warm in {time.time()-t0:.0f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(states, audios, ends, tf, mult, limit, active)
+    float(fence(jax.tree.leaves(out)[0]))
+    dt = (time.perf_counter() - t0) / reps
+    agg = s * h * interval / SR / dt
+    log(f"[{tag}] {dt*1e3:.2f} ms/step -> {agg:.1f}x aggregate")
+    return agg
+
+
+def main():
+    import jax
 
     # Persistent compilation cache: first-touch on the tunneled TPU costs
     # minutes; cache hits cut repeat runs dramatically (no-op if the
@@ -87,75 +206,44 @@ def main():
         pass
 
     devices = _probe_devices()
+    log(f"device={devices[0]}")
 
-    from bauklank_tpu.engine.batched import batched_step_jit, init_batched_state
-    from bauklank_tpu.engine.config import preset_default
-    from bauklank_tpu.engine.offline import frame_ends_for
-    from bauklank_tpu.engine.params import StretchParams
+    # 1. blob-exact serving aggregate (the conjunctive headline): the
+    #    BASELINE >=40 dB matrix at the preset serving geometry, 128
+    #    streams (the measured v5e knee)
+    fid_x = bench_fidelity(
+        128, 8, round(0.12 * SR), round(0.03 * SR),
+        np.linspace(0.5, 2.0, 128).astype(np.float32))
 
-    sr = 44100.0
-    # 128 concurrent streams is this chip's measured throughput knee
-    # (64 -> 1783x, 128 -> 2160x, 256 -> 2113x aggregate); BASELINE config
-    # 5 asks for "64+ concurrent independent streams"
-    n_streams = 128
-    hops = 32
-    config = preset_default(channels=2, sample_rate=sr)
-    # the serving pool dispatches the formants-off compile of the step when
-    # no stream uses formant controls (serve/pool.StreamPool.step; the
-    # reference engine gates the same way) — this bench's params are
-    # formant-neutral, so measure that path
-    from bauklank_tpu.engine.batched import formants_off
+    # 2. the deployed kiosk operating point: blockMs=200/overlap=1.0 at
+    #    rate 0.001 (tf > 2: MINSTD regime + overlap-1 geometry)
+    kiosk_x = bench_fidelity(
+        64, 4, round(0.2 * SR), round(0.2 * SR),
+        np.full(64, 0.001, np.float32), reps=8, tag="kiosk")
 
-    config = formants_off(config)
-    log(f"device={devices[0]}  config=block{config.block}/int{config.interval}  streams={n_streams}")
+    # 3. the fast engine (the former headline)
+    fast_x = bench_fast()
 
-    rng = np.random.default_rng(0)
-    t = int(6 * sr)
-    audios = jnp.asarray((rng.standard_normal((n_streams, 2, t)) * 0.2).astype(np.float32))
-    rates = np.linspace(0.5, 2.0, n_streams)
-    params = StretchParams.stack(
-        [
-            StretchParams.make(rate=r, semitones=s, sample_rate=sr)
-            for r, s in zip(rates, np.linspace(-12, 12, n_streams))
-        ]
-    )
-    states = init_batched_state(config, n_streams)
-    rms_jit = jax.jit(lambda o: jnp.sqrt(jnp.mean(jnp.square(o))))
-
-    def ends_at(step_idx):
-        return jnp.asarray(
-            np.stack(
-                [frame_ends_for(config, step_idx * hops * config.interval, hops, r) for r in rates]
-            ),
-            jnp.int32,
-        )
-
-    # warmup / compile; scalar materialization fences completion
-    t0 = time.perf_counter()
-    states, out = batched_step_jit(config, states, audios, ends_at(0), params)
-    rms = float(rms_jit(out))
-    assert np.isfinite(rms) and rms > 0, rms
-    log(f"compiled+warm in {time.perf_counter()-t0:.0f}s, output rms={rms:.4f}")
-
-    n_steps = 8
-    ends = [ends_at(i + 1) for i in range(n_steps)]
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        states, out = batched_step_jit(config, states, audios, ends[i], params)
-    float(rms_jit(out))  # fence
-    dt = time.perf_counter() - t0
-
-    out_samples = n_steps * n_streams * hops * config.interval
-    rtf = out_samples / dt / sr
-    log(f"{n_steps} steps in {dt:.3f}s -> {rtf:.1f}x realtime aggregate ({rtf/n_streams:.1f}x per stream)")
+    # on-chip golden floor from the committed artifact (the full-matrix
+    # gate benchmarks/check_tpu_golden.py --all --record writes)
+    snr_floor = None
+    art = pathlib.Path(__file__).resolve().parent / "GOLDEN_TPU.json"
+    if art.exists():
+        try:
+            snr_floor = json.loads(art.read_text()).get("min_db")
+        except Exception:
+            pass
 
     print(
         json.dumps(
             {
-                "metric": "aggregate_realtime_factor",
-                "value": round(rtf, 2),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(rtf / 500.0, 4),
+                "metric": "fidelity_aggregate_realtime_factor",
+                "value": round(fid_x, 2),
+                "unit": "x_realtime_per_chip_blob_exact",
+                "vs_baseline": round(fid_x / BASELINE_TARGET, 4),
+                "fast_x": round(fast_x, 2),
+                "kiosk_x": round(kiosk_x, 2),
+                "snr_floor_db": snr_floor,
             }
         )
     )

@@ -181,3 +181,34 @@ def test_live_fidelity_step_lowers_for_tpu(tpu_mode_graph):
         states, chunks, ones, limit, ones)
     assert len(exp.mlir_module_serialized) > 0
     assert b"tpu_custom_call" in exp.mlir_module_serialized
+
+
+def test_fidelity_step_kiosk_geometry_lowers_for_tpu(tpu_mode_graph):
+    """The deployed kiosk operating point (blockMs=200, overlap=1.0 ->
+    interval == block, long_step == 1) must lower for tpu: r5 found the
+    Pallas bandchain ring-shift tracing an empty slice at long_step == 1
+    on the real chip — an edge the CPU suite's interpret-mode runs and
+    the non-TPU graph never reach."""
+    from bauklank_tpu.engine.fidelity import (
+        SpectralConfig,
+        batched_fidelity_chunk,
+        init_batched_fidelity_state,
+    )
+
+    s, h = 2, 2
+    blk = round(0.2 * SR)
+    cfg = SpectralConfig(channels=2, block=blk, interval=blk)
+    states = init_batched_fidelity_state(cfg, s)
+    audios = jnp.zeros((s, 2, int(2 * SR)), jnp.float32)
+    ends = jnp.full((s, h), blk + 600, jnp.int32)
+    # rate 0.001 -> saturated tf (min(1/rate, interval)): the MINSTD
+    # regime cond branch compiles in alongside the deterministic one
+    tf = jnp.full((s,), min(1000.0, float(blk)), jnp.float32)
+    ones = jnp.ones((s,), jnp.float32)
+    limit = jnp.full((s,), 0.18, jnp.float32)
+
+    f = jax.jit(functools.partial(batched_fidelity_chunk, cfg))
+    exp = jax.export.export(f, platforms=["tpu"])(
+        states, audios, ends, tf, ones, limit, ones)
+    assert len(exp.mlir_module_serialized) > 0
+    assert b"tpu_custom_call" in exp.mlir_module_serialized
