@@ -25,6 +25,11 @@ import pytest
 sys.path.insert(0, "tools")
 from golden_wasm import harness, material  # noqa: E402
 
+# the blob-parity gates are the suite's slow tail (~12 min of the ~36 min
+# total on the 1-CPU box); `-m "not golden"` gives the fast tier — the
+# sharded full runner (scripts/run_tests.sh) always includes them
+pytestmark = pytest.mark.golden
+
 FIXTURES = pathlib.Path(__file__).parent / "golden" / "golden_v1.npz"
 SKIP = round(material.BLOCK_MS / 1000 * material.SR)  # latency ramp-in (default geom)
 

@@ -258,6 +258,7 @@ def test_node_fidelity_formants():
     assert np.abs(shifted - neutral).max() > 1e-3
 
 
+@pytest.mark.golden
 @pytest.mark.parametrize("formants", [False, "auto", "base", "mixed"])
 def test_hop_parallel_chunk_matches_scan_form(formants):
     """batched_fidelity_chunk (hop-parallel precompute, the round-3 serving
@@ -345,6 +346,7 @@ def _hop_parallel_chunk_matches_scan_form(formants):
         st = sb
 
 
+@pytest.mark.golden
 @pytest.mark.parametrize("formants", [False, True])
 @pytest.mark.parametrize("regime", ["mixed", "det", "det-pallas"])
 def test_hoisted_chain_inputs_bit_exact_vs_hop_local(
