@@ -310,13 +310,19 @@ def _analyse_many(cfg: SpectralConfig, audios, ends, zero_head: int = 0):
     )(audios, ends)
 
 
-def _analyse_cur_prev(cfg: SpectralConfig, audios, ends):
+def _analyse_cur_prev(cfg: SpectralConfig, audios, ends, full_prev=False):
     """Batched cur/prev analyses for a pool chunk ([S, H] ends ->
     [H, S, C, bands] each), honoring the splitComputation mode: with split
     on both frame families analyse in ONE batched pass; with split off the
-    prev windows zero their first interval (the decoded split-off law)."""
+    prev windows zero their first interval (the decoded split-off law).
+
+    ``full_prev`` forces the full-window prev analysis even when
+    cfg.split is off — the COUPLED (live-input) drive: the zero-head
+    artifact comes from the seek path's short prev refresh, and the live
+    branch never seeks (its per-sample ring writes keep the whole window
+    fresh; lockstep-verified 2026-08-20, a zero-head prev errs O(1))."""
     h = ends.shape[1]
-    if cfg.split:
+    if cfg.split or full_prev:
         both = jnp.concatenate([ends, ends - cfg.interval], axis=1)  # [S, 2H]
         specs = _analyse_many(cfg, audios, both)
         cur = jnp.moveaxis(specs[:, :h], 1, 0)    # [H, S, C, bands]
@@ -345,6 +351,7 @@ def init_batched_fidelity_state(cfg: SpectralConfig, capacity: int):
 def batched_fidelity_chunk(
     cfg: SpectralConfig, states, audios, ends, tf, mult, limit, active,
     formant_factor=None, formant_compensation=None, formant_base=None,
+    coupled=False,
 ):
     """Whole-pool fidelity step, hop-parallel form (round-3 serving path).
 
@@ -374,7 +381,10 @@ def batched_fidelity_chunk(
     spec_states, tails = states
     h = ends.shape[1]
     interval, block = cfg.interval, cfg.block
-    cur, prev = _analyse_cur_prev(cfg, audios, ends)
+    # coupled (live) drive: full-window prev even under split-off — only
+    # the PLACEMENT half of the split-off law applies (no seek, so the
+    # zero-head prev artifact never occurs); see _analyse_cur_prev
+    cur, prev = _analyse_cur_prev(cfg, audios, ends, full_prev=coupled)
 
     xs, (rng_final, fv, fw) = chain_inputs_hops(
         cfg, spec_states, cur, prev, tf, mult, limit,
@@ -519,7 +529,12 @@ def batched_live_fidelity_chunk(
       tf <= 2 regime always holds and the MINSTD stream is never consumed;
     - all hop math is the file-mode math — this delegates to
       :func:`batched_fidelity_chunk` with a rolling ring as the audio and
-      CONSTANT relative frame ends (no per-step host work at all).
+      CONSTANT relative frame ends (no per-step host work at all);
+    - under splitComputation=false only the PLACEMENT half of the
+      split-off law applies (frames land at ``o`` instead of ``o +
+      interval``): the zero-head prev artifact is a seek-path effect and
+      the live branch never seeks (``coupled=True`` below;
+      lockstep-verified, golden case ``live_stp12_splitoff``).
 
     state = (SpectralState, ola_tail, ring [C, L]) per stream (see
     :func:`init_batched_live_fidelity_state`).
@@ -544,7 +559,8 @@ def batched_live_fidelity_chunk(
             formant_base=formant_base,
         )
     (spec_states, tails), emit = batched_fidelity_chunk(
-        cfg, (spec_states, tails), rings, ends, tf, mult, limit, active, **kw
+        cfg, (spec_states, tails), rings, ends, tf, mult, limit, active,
+        coupled=True, **kw
     )
     return (spec_states, tails, rings), emit
 

@@ -141,7 +141,8 @@ def _run_live_case(golden, name, semitones, channels, extras):
     use_formants = bool(
         ex.get("formant_semitones") or ex.get("formant_compensation"))
     cfg = SpectralConfig(channels=channels, block=block, interval=interval,
-                         formants=use_formants)
+                         formants=use_formants,
+                         split=bool(ex.get("split_computation", True)))
     n_out = int(material.SECONDS * sr)
     x = material.case_input(1.0, channels)[:, :n_out]
     hop_chunk = 8

@@ -173,7 +173,8 @@ def test_live_snr_vs_reference_wasm(golden, name, semitones, channels, extras):
     interval = round(kw_geom["interval_ms"] / 1000 * sr)
     use_formants = bool(ex.get("formant_semitones") or ex.get("formant_compensation"))
     cfg = SpectralConfig(channels=channels, block=block, interval=interval,
-                         formants=use_formants)
+                         formants=use_formants,
+                         split=bool(ex.get("split_computation", True)))
     n_out = int(material.SECONDS * sr)
     x = material.case_input(1.0, channels)[:, :n_out]
     hop_chunk = 8

@@ -83,6 +83,9 @@ LIVE_CASES = [
       "_compare_sec": 1.0}),
     # the deployed kiosk geometry, coupled
     ("live_kiosk_stp5", 5.0, 1, {"block_ms": 200.0, "interval_ms": 200.0}),
+    # coupled x splitComputation=false (the ring law is unchanged:
+    # lockstep-verified 2026-08-20, same drift trajectory as split-on)
+    ("live_stp12_splitoff", 12.0, 1, {"split_computation": False}),
 ]
 
 
